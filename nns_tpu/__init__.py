@@ -1,0 +1,27 @@
+"""nns_tpu — a TPU-native exact nearest-neighbor-search engine.
+
+Built from scratch in JAX/XLA/Pallas with the same capabilities as the CUDA
+reference ladder sty-hhh/NNS-CUDA (see /root/reference and SURVEY.md):
+
+- a uniform query API (``nns``) with a 14-version registry (v0..v13) mirroring
+  the reference's optimization ladder (reference: core.cu namespaces v0..v13,
+  dispatch table main.cu:89-135),
+- a brute-force family where the m x n distance computation is a fused Pallas
+  kernel (distances live only in VMEM; reference analog: the fused
+  shared-memory kernel of core.cu:216),
+- a multi-chip family sharding the reference set over a `jax.sharding.Mesh`
+  with an on-device (dist, idx) argmin merge (reference analog: the 4-GPU
+  OpenMP data parallelism of core.cu:761-852),
+- a spatial-tree family (KD-tree, octree) with flat device-resident tree
+  arrays and stackless batched traversal (reference analog: core.cu v10-v13),
+- a benchmark harness reproducing the reference's seeded (k, m, n) config
+  grid and build/query timing split (reference: main.cu:38-51, 62-80).
+
+Exactness contract: recall@1 = 1.0 — every version returns a true nearest
+neighbor of the float32 inputs (verified against a float64 oracle).
+"""
+
+__version__ = "0.1.0"
+
+from nns_tpu.api import nns, get_version, list_versions, NNEngine  # noqa: F401
+from nns_tpu.config import BenchConfig, REFERENCE_GRID, DEFAULT_SEED  # noqa: F401

@@ -1,0 +1,281 @@
+"""Uniform public API + the 14-version registry.
+
+Reference analog: the single shared signature `vN::cudaCall(k, m, n,
+s_points, r_points, results)` (core.cu:23-29) and the 14-way dispatch table
+in main.cu:89-135. Here every version is a callable
+``fn(queries[m,k] f32, refs[n,k] f32) -> idx[m] i32`` plus an optional
+build/query split (``NNEngine``) so tree versions report build time
+separately, as the reference does (core.cu:1158-1159).
+
+The capability-fallback contract mirrors the reference (SURVEY.md §5):
+- KD-tree versions (v10/v11) fall back to v0 for k > 16 (core.cu:1148-1149),
+- octree versions (v12/v13) fall back to v0 for k != 3 (core.cu:1641-1644),
+- sharded versions (v8/v9) fall back to the single-chip fused kernel when
+  only one device exists (core.cu:774-777),
+- the VMEM-resident-queries version (v6) falls back to v4 when the query set
+  exceeds its budget (core.cu:546-550).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import numpy as np
+
+from nns_tpu.config import DEFAULT_ENGINE_CONFIG, EngineConfig
+
+
+def _as_idx(x: Any) -> np.ndarray:
+    return np.asarray(x).astype(np.int32)
+
+
+# --------------------------------------------------------------------------
+# Version implementations (thin adapters over the kernel modules)
+# --------------------------------------------------------------------------
+
+
+def _v0(q, r, cfg):
+    from nns_tpu.kernels.oracle import linear_scan
+
+    return linear_scan(np.asarray(q), np.asarray(r))
+
+
+def _v1(q, r, cfg):
+    from nns_tpu.kernels.xla_bruteforce import nns_distance_matrix
+
+    return _as_idx(nns_distance_matrix(q, r))
+
+
+def _v2(q, r, cfg):
+    from nns_tpu.kernels.xla_bruteforce import nns_expansion_matmul
+
+    return _as_idx(nns_expansion_matmul(q, r))
+
+
+def _v3(q, r, cfg):
+    from nns_tpu.kernels.pallas_fused import nns_fused_point_major
+
+    return _as_idx(nns_fused_point_major(q, r, tile_m=cfg.tile_m, tile_n=min(cfg.tile_n, 1024)))
+
+
+def _v4(q, r, cfg):
+    from nns_tpu.kernels.pallas_fused import nns_fused
+
+    return _as_idx(nns_fused(q, r, tile_m=cfg.tile_m, tile_n=cfg.tile_n))
+
+
+def _v5(q, r, cfg):
+    from nns_tpu.kernels.pallas_fused import nns_fused_streaming
+
+    return _as_idx(nns_fused_streaming(q, r, tile_m=cfg.tile_m, tile_n=cfg.tile_n))
+
+
+def _v6(q, r, cfg):
+    from nns_tpu.kernels.pallas_fused import nns_fused_queries_resident
+
+    return _as_idx(
+        nns_fused_queries_resident(
+            q, r, max_query_bytes=cfg.vmem_query_budget_bytes
+        )
+    )
+
+
+def _v7(q, r, cfg):
+    from nns_tpu.kernels.pallas_fused import nns_two_level
+
+    return _as_idx(nns_two_level(q, r, tile_m=cfg.tile_m, tile_n=cfg.tile_n))
+
+
+def _v8(q, r, cfg):
+    from nns_tpu.parallel.sharded import nns_sharded
+
+    return _as_idx(nns_sharded(q, r, tile_m=cfg.tile_m, tile_n=cfg.tile_n))
+
+
+def _v9(q, r, cfg):
+    # The reference's "best brute force": v8's structure with the tuned
+    # kernel (core.cu:856-1058). Ours: sharded path with larger tiles.
+    from nns_tpu.parallel.sharded import nns_sharded
+
+    return _as_idx(nns_sharded(q, r, tile_m=cfg.tile_m, tile_n=max(cfg.tile_n, 4096)))
+
+
+def _v10(q, r, cfg):
+    from nns_tpu.trees.kdtree import nns_kdtree_host
+
+    return _as_idx(nns_kdtree_host(q, r, max_k=cfg.kd_max_k))
+
+
+def _v11(q, r, cfg):
+    from nns_tpu.trees.kdtree_device import nns_kdtree_device
+
+    return _as_idx(nns_kdtree_device(q, r, max_k=cfg.kd_max_k))
+
+
+def _v12(q, r, cfg):
+    from nns_tpu.trees.octree import nns_octree_host
+
+    return _as_idx(nns_octree_host(q, r, max_depth=cfg.octree_max_depth))
+
+
+def _v13(q, r, cfg):
+    from nns_tpu.trees.octree_device import nns_octree_device
+
+    return _as_idx(nns_octree_device(q, r, max_depth=cfg.octree_max_depth))
+
+
+@dataclasses.dataclass(frozen=True)
+class VersionSpec:
+    num: int
+    name: str
+    family: str  # "cpu" | "bruteforce" | "sharded" | "tree"
+    fn: Callable[..., np.ndarray]
+    description: str
+
+    def __call__(self, queries, refs, config: EngineConfig | None = None) -> np.ndarray:
+        return self.fn(queries, refs, config or DEFAULT_ENGINE_CONFIG)
+
+
+_SPECS = [
+    VersionSpec(0, "cpu_scan", "cpu", _v0, "CPU linear scan (oracle; core.cu v0)"),
+    VersionSpec(1, "distance_matrix", "bruteforce", _v1, "materialized HBM distance matrix + argmin (v1)"),
+    VersionSpec(2, "expansion_matmul", "bruteforce", _v2, "MXU |q-r|^2 expansion + XLA argmin (v2, thrust analog)"),
+    VersionSpec(3, "fused_point_major", "bruteforce", _v3, "fused Pallas kernel, point-major refs (v3)"),
+    VersionSpec(4, "fused", "bruteforce", _v4, "fused Pallas kernel, dim-major refs — flagship (v4, SoA analog)"),
+    VersionSpec(5, "fused_streaming", "bruteforce", _v5, "fused kernel, refs streamed HBM->VMEM double-buffered (v5, texture analog)"),
+    VersionSpec(6, "fused_queries_resident", "bruteforce", _v6, "fused kernel, whole query set VMEM-resident (v6, constant-memory analog)"),
+    VersionSpec(7, "two_level", "bruteforce", _v7, "per-tile partial winners + on-device second reduce (v7, multi-block analog)"),
+    VersionSpec(8, "sharded", "sharded", _v8, "refs sharded over mesh, ICI argmin merge (v8, 4-GPU analog)"),
+    VersionSpec(9, "sharded_tuned", "sharded", _v9, "sharded with tuned tiles (v9, full-unroll analog)"),
+    VersionSpec(10, "kdtree_host", "tree", _v10, "KD-tree host build + host query (v10)"),
+    VersionSpec(11, "kdtree_device", "tree", _v11, "KD-tree host build + batched device traversal (v11 — actually runs, unlike core.cu:1345)"),
+    VersionSpec(12, "octree_host", "tree", _v12, "octree host build + host query (v12)"),
+    VersionSpec(13, "octree_device", "tree", _v13, "octree host build + batched device traversal (v13 — actually runs, unlike core.cu:1793)"),
+]
+
+REGISTRY: dict[int, VersionSpec] = {s.num: s for s in _SPECS}
+_BY_NAME: dict[str, VersionSpec] = {s.name: s for s in _SPECS}
+
+
+def get_version(version: int | str) -> VersionSpec:
+    if isinstance(version, str) and version in _BY_NAME:
+        return _BY_NAME[version]
+    try:
+        return REGISTRY[int(version)]
+    except (KeyError, ValueError):
+        raise KeyError(f"unknown version {version!r}; valid: 0..13 or names {sorted(_BY_NAME)}")
+
+
+def list_versions() -> list[VersionSpec]:
+    return list(_SPECS)
+
+
+def nns(
+    queries,
+    refs,
+    version: int | str = "auto",
+    config: EngineConfig | None = None,
+) -> np.ndarray:
+    """Exact 1-NN: for each query, the index of its nearest reference point.
+
+    ``version="auto"`` dispatches to the widest capable path: the sharded
+    brute force when multiple devices are visible, else the single-chip
+    fused kernel (the graceful-degradation contract of SURVEY.md §5).
+    """
+    queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+    refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
+    if queries.shape[1] != refs.shape[1]:
+        raise ValueError(
+            f"dimension mismatch: queries k={queries.shape[1]}, refs k={refs.shape[1]}"
+        )
+    if refs.shape[0] == 0:
+        raise ValueError("reference set is empty")
+    cfg = config or DEFAULT_ENGINE_CONFIG
+    if version == "auto":
+        import jax
+
+        spec = REGISTRY[8] if len(jax.devices()) > 1 else REGISTRY[4]
+    else:
+        spec = get_version(version)
+    return spec(queries, refs, cfg)
+
+
+class NNEngine:
+    """Build/query split over any version — how the harness times tree builds
+    separately from queries (reference: core.cu:1154-1161 prints build and
+    query phases separately).
+
+    For brute-force versions "build" is reference-set staging (device
+    placement + layout); for tree versions it is tree construction. Tree
+    engines also support ``save``/``load`` (the checkpoint subsystem the
+    reference lacks, SURVEY.md §5).
+    """
+
+    def __init__(self, version: int | str = "auto", config: EngineConfig | None = None):
+        self.config = config or DEFAULT_ENGINE_CONFIG
+        if version == "auto":
+            import jax
+
+            version = 8 if len(jax.devices()) > 1 else 4
+        self.spec = get_version(version)
+        self._built: Any = None
+        self._refs: np.ndarray | None = None
+
+    def build(self, refs) -> "NNEngine":
+        refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
+        self._refs = refs
+        if self.spec.family == "tree":
+            if self.spec.num in (10, 11) and refs.shape[1] <= self.config.kd_max_k:
+                from nns_tpu.trees.kdtree import KDTree
+
+                self._built = KDTree.build(refs)
+            elif self.spec.num in (12, 13) and refs.shape[1] == self.config.octree_k:
+                from nns_tpu.trees.octree import Octree
+
+                self._built = Octree.build(refs, max_depth=self.config.octree_max_depth)
+            else:
+                self._built = None  # falls back to brute force at query time
+        else:
+            import jax
+
+            self._staged = jax.device_put(refs)
+            jax.block_until_ready(self._staged)
+        return self
+
+    def query(self, queries) -> np.ndarray:
+        if self._refs is None:
+            raise RuntimeError("call build(refs) first")
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self.spec.family == "tree" and self._built is not None:
+            if self.spec.num == 10:
+                return _as_idx(self._built.query_host(queries))
+            if self.spec.num == 11:
+                return _as_idx(self._built.query_device(queries))
+            if self.spec.num == 12:
+                return _as_idx(self._built.query_host(queries))
+            if self.spec.num == 13:
+                return _as_idx(self._built.query_device(queries))
+        return self.spec(queries, self._refs, self.config)
+
+    def save(self, path: str) -> None:
+        if self.spec.family != "tree" or self._built is None:
+            raise ValueError("save() supports built tree engines only")
+        self._built.save(path)
+
+    @classmethod
+    def load(cls, path: str, version: int | str, config: EngineConfig | None = None) -> "NNEngine":
+        eng = cls(version, config)
+        spec = eng.spec
+        if spec.num in (10, 11):
+            from nns_tpu.trees.kdtree import KDTree
+
+            eng._built = KDTree.load(path)
+        elif spec.num in (12, 13):
+            from nns_tpu.trees.octree import Octree
+
+            eng._built = Octree.load(path)
+        else:
+            raise ValueError("load() supports tree versions only")
+        eng._refs = eng._built.refs
+        return eng

@@ -1,0 +1,58 @@
+"""Array layout helpers — the v4 AoS->SoA analog (core.cu:293-306).
+
+The reference transposes the reference set from point-major [n][k] to
+dim-major [k][n] on the GPU for coalesced reads (mat_inv_kernel). On TPU the
+same decision appears as: which layout do we hand XLA / the Pallas BlockSpec,
+and how do we pad to hardware tile boundaries (lane width 128, f32 sublane 8).
+
+Padding contract: dimensions (k) are zero-padded on BOTH queries and refs —
+appending zero coordinates to both sides leaves every pairwise distance
+unchanged. Reference points (n) are padded with a large sentinel coordinate
+so padded points can never win the argmin. Queries (m) are padded arbitrarily
+and the tail results sliced off.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# A padded reference point at (BIG, BIG, ...) has distance >= BIG^2 to any
+# real query in [0,1]^k — never the argmin. Kept well below f32 max so
+# squared values don't overflow to inf (inf - inf traps in some reductions).
+PAD_SENTINEL = 1e6
+
+
+def round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def pad_dims(points: jnp.ndarray, k_mult: int) -> jnp.ndarray:
+    """Zero-pad the trailing dim axis of (p, k) to a multiple of k_mult."""
+    k = points.shape[1]
+    kp = round_up(k, k_mult)
+    if kp == k:
+        return points
+    return jnp.pad(points, ((0, 0), (0, kp - k)))
+
+
+def pad_refs(refs: jnp.ndarray, n_mult: int) -> jnp.ndarray:
+    """Sentinel-pad the point axis of (n, k) to a multiple of n_mult."""
+    n = refs.shape[0]
+    np_ = round_up(n, n_mult)
+    if np_ == n:
+        return refs
+    return jnp.pad(refs, ((0, np_ - n), (0, 0)), constant_values=PAD_SENTINEL)
+
+
+def pad_queries(queries: jnp.ndarray, m_mult: int) -> jnp.ndarray:
+    """Zero-pad the query axis of (m, k) to a multiple of m_mult."""
+    m = queries.shape[0]
+    mp = round_up(m, m_mult)
+    if mp == m:
+        return queries
+    return jnp.pad(queries, ((0, mp - m), (0, 0)))
+
+
+def to_dim_major(points: jnp.ndarray) -> jnp.ndarray:
+    """(p, k) point-major -> (k, p) dim-major (mat_inv_kernel analog)."""
+    return points.T

@@ -1,0 +1,98 @@
+"""V0 analog: CPU linear scan, plus the float64 ground-truth oracle.
+
+Reference: v0::cudaCall (core.cu:11-54) — triple loop over (m, n, k) with a
+running argmin of squared L2 distance; the trivially-correct oracle and the
+runtime fallback target of v8/v9/v10/v11/v12/v13.
+
+Here the scan is vectorized numpy (with an optional native C++/OpenMP path,
+see nns_tpu/native) and there is a second, stricter artifact the reference
+never had: a float64 oracle + recall checker used by the test suite and the
+harness, closing the "no tests, outputs never compared" gap (SURVEY.md §4).
+
+Numerics: inputs are float32. The f64 oracle accumulates (q_d - r_d)^2 in
+float64, giving distances with ~1e-16 relative error — ground truth for any
+f32-representable gap. ``recall_at_1`` counts a returned index as a hit iff
+its f64 distance ties the f64 minimum within 1e-9 relative tolerance (exact
+search admits any true argmin under ties).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Query-chunk size bounding oracle memory at chunk * n float64.
+_CHUNK = 128
+
+
+def _dists_f64(q_chunk: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """Exact-ish squared L2 distances, (chunk, n) float64, accumulated per-dim
+    to avoid a (chunk, n, k) intermediate."""
+    q = q_chunk.astype(np.float64)
+    r = refs.astype(np.float64)
+    out = np.zeros((q.shape[0], r.shape[0]), dtype=np.float64)
+    for d in range(q.shape[1]):
+        diff = q[:, d, None] - r[None, :, d]
+        out += diff * diff
+    return out
+
+
+def nn_oracle_f64(queries: np.ndarray, refs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Ground truth: (argmin_idx[m] int64, min_dist2[m] float64)."""
+    m = queries.shape[0]
+    idx = np.empty(m, dtype=np.int64)
+    dmin = np.empty(m, dtype=np.float64)
+    for lo in range(0, m, _CHUNK):
+        hi = min(lo + _CHUNK, m)
+        d = _dists_f64(queries[lo:hi], refs)
+        idx[lo:hi] = np.argmin(d, axis=1)
+        dmin[lo:hi] = d[np.arange(hi - lo), idx[lo:hi]]
+    return idx, dmin
+
+
+def recall_at_1(
+    returned_idx: np.ndarray,
+    queries: np.ndarray,
+    refs: np.ndarray,
+    oracle_dmin: np.ndarray | None = None,
+) -> float:
+    """Fraction of queries whose returned point is a true nearest neighbor.
+
+    Tie-tolerant: a hit iff d64(q, returned) <= d64_min * (1 + 1e-9) + 1e-30,
+    so any member of an exact tie class counts (the reference's convention —
+    its serial scans keep the lowest index, but exactness only requires *a*
+    nearest neighbor).
+    """
+    returned_idx = np.asarray(returned_idx)
+    if oracle_dmin is None:
+        _, oracle_dmin = nn_oracle_f64(queries, refs)
+    q = queries.astype(np.float64)
+    r = refs.astype(np.float64)[returned_idx]
+    d_ret = np.sum((q - r) ** 2, axis=1)
+    hits = d_ret <= oracle_dmin * (1.0 + 1e-9) + 1e-30
+    return float(np.mean(hits))
+
+
+def linear_scan(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    """v0: CPU linear scan in float32 (core.cu:11-54 analog), lowest-index
+    tie-break. Uses the native C++/OpenMP scan when built, else numpy."""
+    from nns_tpu.native import native_linear_scan  # lazy: optional .so
+
+    out = native_linear_scan(queries, refs)
+    if out is not None:
+        return out
+    return _linear_scan_numpy(queries, refs)
+
+
+def _linear_scan_numpy(queries: np.ndarray, refs: np.ndarray) -> np.ndarray:
+    m, k = queries.shape
+    idx = np.empty(m, dtype=np.int32)
+    refs32 = refs.astype(np.float32)
+    for lo in range(0, m, _CHUNK):
+        hi = min(lo + _CHUNK, m)
+        q = queries[lo:hi].astype(np.float32)
+        acc = np.zeros((hi - lo, refs.shape[0]), dtype=np.float32)
+        for d in range(k):
+            diff = q[:, d, None] - refs32[None, :, d]
+            acc += diff * diff
+        idx[lo:hi] = np.argmin(acc, axis=1).astype(np.int32)  # lowest index on ties
+    return idx

@@ -1,0 +1,137 @@
+"""Build + ctypes loader for the native C++ library.
+
+Compiled lazily with g++ (no pip deps); cached next to the source. Public
+wrappers return None / numpy fallbacks when unavailable so the pure-Python
+framework always works.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "nns_cpu.cpp")
+_LIB = os.path.join(_DIR, "libnns_cpu.so")
+_lock = threading.Lock()
+_lib: ctypes.CDLL | None = None
+_tried = False
+
+
+def ensure_built(force: bool = False) -> bool:
+    """Compile nns_cpu.cpp -> libnns_cpu.so if needed. True on success."""
+    if not os.path.exists(_SRC):
+        return False
+    if not force and os.path.exists(_LIB) and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC):
+        return True
+    cmd = [
+        "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+        "-std=c++17", _SRC, "-o", _LIB,
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+        return True
+    except (subprocess.CalledProcessError, subprocess.TimeoutExpired, FileNotFoundError):
+        return False
+
+
+def load_library() -> ctypes.CDLL | None:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not ensure_built():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            return None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.nns_linear_scan.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p, f32p, i32p,
+        ]
+        lib.nns_linear_scan.restype = None
+        lib.nns_kd_build.argtypes = [
+            ctypes.c_int, ctypes.c_int, f32p, i32p, i32p,
+        ]
+        lib.nns_kd_build.restype = ctypes.c_int
+        lib.nns_octree_build.argtypes = [
+            ctypes.c_int, ctypes.c_int, f32p,
+            i32p, f32p, f32p, i32p, i32p, i32p, ctypes.c_int,
+        ]
+        lib.nns_octree_build.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+def native_linear_scan(queries: np.ndarray, refs: np.ndarray) -> np.ndarray | None:
+    """OpenMP f32 linear scan (v0). Returns None when the lib is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    r = np.ascontiguousarray(refs, dtype=np.float32)
+    m, k = q.shape
+    n = r.shape[0]
+    out = np.empty(m, dtype=np.int32)
+    lib.nns_linear_scan(k, m, n, q, r, out)
+    return out
+
+
+def native_kd_build(refs: np.ndarray, max_k: int = 16):
+    """Median-split KD-tree build (implicit heap). Returns (perm, split_dim,
+    split_val-free: node layout documented in trees/kdtree.py) or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(refs, dtype=np.float32)
+    n, k = r.shape
+    if k > max_k:
+        return None
+    size = 1
+    while size < n:
+        size *= 2
+    heap_len = 2 * size
+    perm = np.empty(heap_len, dtype=np.int32)
+    dims = np.empty(heap_len, dtype=np.int32)
+    ok = lib.nns_kd_build(k, n, r, perm, dims)
+    if ok != 0:
+        return None
+    return perm, dims
+
+
+def native_octree_build(refs: np.ndarray, max_depth: int, max_nodes: int):
+    """Octree build into flat arrays. Returns the node arrays or None."""
+    lib = load_library()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(refs, dtype=np.float32)
+    n, k = r.shape
+    if k != 3:
+        return None
+    children = np.empty((max_nodes, 8), dtype=np.int32)
+    centers = np.empty((max_nodes, 3), dtype=np.float32)
+    radii = np.empty(max_nodes, dtype=np.float32)
+    starts = np.empty(max_nodes, dtype=np.int32)
+    counts = np.empty(max_nodes, dtype=np.int32)
+    order = np.empty(n, dtype=np.int32)
+    n_nodes = lib.nns_octree_build(
+        k, n, r, children.reshape(-1), centers.reshape(-1), radii, starts,
+        counts, order, max_depth,
+    )
+    if n_nodes <= 0 or n_nodes > max_nodes:
+        return None
+    return (
+        children[:n_nodes], centers[:n_nodes], radii[:n_nodes],
+        starts[:n_nodes], counts[:n_nodes], order,
+    )

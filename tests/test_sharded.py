@@ -1,0 +1,58 @@
+"""Multi-chip sharded brute force tests (v8/v9 analog) on the virtual
+8-device CPU mesh — the reference's 4-GPU data parallelism (core.cu:700-1058)
+was untestable without 4 GPUs; ours runs anywhere (SURVEY.md §4 item 4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from conftest import assert_exact
+from nns_tpu.data import make_dataset
+from nns_tpu.parallel.mesh import best_mesh, make_mesh
+from nns_tpu.parallel.sharded import nns_sharded, sharded_argmin
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+@pytest.mark.parametrize("n_dev", [1, 2, 4, 8])
+def test_sharded_exact_across_mesh_sizes(n_dev):
+    q, r = make_dataset(k=3, m=64, n=4096, seed=1000)
+    mesh = make_mesh(n_dev)
+    idx = np.asarray(nns_sharded(q, r, mesh=mesh, tile_n=512))
+    assert_exact(idx, q, r)
+
+
+def test_sharded_matches_single_chip():
+    from nns_tpu.kernels.pallas_fused import nns_fused
+
+    q, r = make_dataset(k=16, m=32, n=2048, seed=5)
+    single = np.asarray(nns_fused(q, r))
+    multi = np.asarray(sharded_argmin(q, r, make_mesh(8), tile_n=256))
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_sharded_unaligned_n():
+    # n not divisible by n_dev * lane: sentinel-padded tail shards.
+    q, r = make_dataset(k=3, m=17, n=999, seed=9)
+    idx = np.asarray(sharded_argmin(q, r, make_mesh(8), tile_n=128))
+    assert_exact(idx, q, r)
+
+
+def test_sharded_tiebreak_lowest_global_index():
+    # Duplicates on different shards: merge must pick the lowest global index.
+    rng = np.random.default_rng(1)
+    r = rng.random((1024, 3), dtype=np.float32)
+    target = np.array([0.3, 0.6, 0.9], dtype=np.float32)
+    for dup in (5, 400, 900):  # shards 0, 3, 7 for 8 shards of 128
+        r[dup] = target
+    q = target[None, :]
+    idx = np.asarray(sharded_argmin(q, r, make_mesh(8), tile_n=128))
+    assert idx[0] == 5
+
+
+def test_best_mesh_degenerate_tiny_n():
+    # Fewer reference points than devices must not produce empty shards.
+    mesh = best_mesh(3)
+    assert mesh.devices.size <= 3
