@@ -1,0 +1,91 @@
+"""Octree tests (v12/v13 analogs): build invariants (octant containment),
+exactness incl. the corner cases the reference's 3-face-neighbor heuristic
+would miss, host/device agreement, persistence."""
+
+import numpy as np
+import pytest
+
+from conftest import assert_exact
+from nns_tpu.data import make_dataset
+from nns_tpu.trees.octree import Octree, nns_octree_host
+from nns_tpu.trees.octree_device import nns_octree_device
+
+
+def test_build_invariants():
+    _, r = make_dataset(k=3, m=1, n=2000, seed=3)
+    tree = Octree.build(r)
+    # Points of every node's range lie inside its cube (closed boundary).
+    for nid in range(len(tree.radius)):
+        s, c = tree.start[nid], tree.count[nid]
+        pts = tree.refs[tree.order[s : s + c]]
+        assert (np.abs(pts - tree.center[nid]) <= tree.radius[nid] + 1e-5).all(), nid
+    # Leaf ranges partition all points.
+    is_leaf = tree.children.max(axis=1) < 0
+    total = tree.count[is_leaf].sum()
+    assert total == r.shape[0]
+    # Children partition the parent's range.
+    for nid in np.flatnonzero(~is_leaf):
+        ch = tree.children[nid][tree.children[nid] >= 0]
+        assert tree.count[ch].sum() == tree.count[nid]
+
+
+@pytest.mark.parametrize("m,n", [(1, 1024), (200, 4096), (64, 513)])
+def test_octree_host_exact(m, n):
+    q, r = make_dataset(3, m, n, seed=1000)
+    assert_exact(nns_octree_host(q, r), q, r)
+
+
+@pytest.mark.parametrize("m,n", [(1, 1024), (128, 4096)])
+def test_octree_device_exact(m, n):
+    q, r = make_dataset(3, m, n, seed=1000)
+    assert_exact(nns_octree_device(q, r), q, r)
+
+
+def test_octree_clustered():
+    # The octree's home turf (BASELINE.md: clustered refs) — deep leaves.
+    q, r = make_dataset(3, 128, 8192, seed=4, clustered=True)
+    assert_exact(nns_octree_host(q, r), q, r)
+    assert_exact(nns_octree_device(q, r), q, r)
+
+
+def test_octree_corner_neighbor_case():
+    # True NN in a corner-adjacent octant (shares no face with the query's
+    # octant) — the case the reference's own-octant + 3-face-neighbor
+    # schedule (core.cu:1587-1609) can miss. Ours must stay exact.
+    r = np.array(
+        [
+            [0.49, 0.49, 0.49],   # corner neighbor, very close to center
+            [0.9, 0.9, 0.9],      # far point in the query's own octant
+        ],
+        dtype=np.float32,
+    )
+    filler = np.random.default_rng(0).random((62, 3)).astype(np.float32) * 0.2
+    refs = np.concatenate([r, filler + np.array([0, 0, 0.8], np.float32)]).astype(np.float32)
+    q = np.array([[0.51, 0.51, 0.51]], dtype=np.float32)
+    assert_exact(nns_octree_host(q, refs), q, refs)
+    assert_exact(nns_octree_device(q, refs), q, refs)
+
+
+def test_octree_duplicates_beyond_depth():
+    # Identical points force max-depth leaf chains with multi-point leaves.
+    r = np.repeat(np.array([[0.25, 0.25, 0.25]], np.float32), 100, axis=0)
+    r = np.concatenate([r, np.array([[0.8, 0.8, 0.8]], np.float32)])
+    q = np.array([[0.3, 0.3, 0.3], [0.9, 0.9, 0.9]], dtype=np.float32)
+    assert_exact(nns_octree_host(q, r), q, r)
+    assert_exact(nns_octree_device(q, r), q, r)
+
+
+def test_octree_k_fallback():
+    # k != 3 falls back to the linear scan (core.cu:1641-1644 contract).
+    q, r = make_dataset(5, 16, 512, seed=6)
+    assert_exact(nns_octree_host(q, r), q, r)
+    assert_exact(nns_octree_device(q, r), q, r)
+
+
+def test_octree_save_load(tmp_path):
+    q, r = make_dataset(3, 32, 1024, seed=8)
+    tree = Octree.build(r)
+    path = str(tmp_path / "oct.npz")
+    tree.save(path)
+    loaded = Octree.load(path)
+    np.testing.assert_array_equal(tree.query_host(q), loaded.query_host(q))
