@@ -112,14 +112,29 @@ def _fused_kernel(q_ref, r_ref, min_ref, idx_ref, *, k: int, tile_n: int):
     min_ref[:] = jnp.where(better, local_min, min_ref[:])
 
 
+def prepare_refs(refs, tile_n: int = 2048):
+    """One-time reference staging for the prepare-once/query-many path:
+    sentinel-pad n to a tile multiple and transpose to dim-major (k, n_pad)
+    (the AoS->SoA transform, done once instead of per query batch — the
+    production-serving shape). Returns (r_dm, tn)."""
+    n = refs.shape[0]
+    tn = min(tile_n, layouts.round_up(n, _LANE))
+    r = layouts.pad_refs(jnp.asarray(refs, dtype=jnp.float32), tn)
+    return layouts.to_dim_major(r), tn
+
+
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
-def _fused_call_min_idx(queries, refs, tile_m: int, tile_n: int, interpret: bool):
-    """Returns (min_dist2[m] f32, argmin_idx[m] i32) — the (dist, idx) winner
+def _fused_on_prepared(queries, r_dm, tile_m: int, tile_n: int, interpret: bool):
+    """Fused kernel over already-prepared dim-major refs.
+
+    Returns (min_dist2[m] f32, argmin_idx[m] i32) — the (dist, idx) winner
     pair the multi-chip merge needs (v8 analog, core.cu:1025-1030)."""
     m, k = queries.shape
-    q, r, tm, tn = _pad_to_tiles(queries, refs, tile_m, tile_n)
-    m_pad, n_pad = q.shape[0], r.shape[0]
-    r_dm = layouts.to_dim_major(r)  # (k, n_pad) — the AoS->SoA analog
+    n_pad = r_dm.shape[1]
+    tm = min(tile_m, layouts.round_up(m, _SUBLANE))
+    tn = tile_n
+    q = layouts.pad_queries(queries, tm)
+    m_pad = q.shape[0]
     grid = (pl.cdiv(m_pad, tm), pl.cdiv(n_pad, tn))
 
     min_out, idx_out = pl.pallas_call(
@@ -142,10 +157,35 @@ def _fused_call_min_idx(queries, refs, tile_m: int, tile_n: int, interpret: bool
     return min_out[:m, 0], idx_out[:m, 0]
 
 
+def _fused_call_min_idx(queries, refs, tile_m: int, tile_n: int, interpret: bool):
+    r_dm, tn = prepare_refs(refs, tile_n)
+    return _fused_on_prepared(queries, r_dm, tile_m, tn, interpret)
+
+
 def nns_fused(queries, refs, tile_m: int = 256, tile_n: int = 2048):
     """v4 analog and flagship single-chip path: fused distance+argmin,
     dim-major refs, running carry in VMEM."""
     return _fused_call_min_idx(queries, refs, tile_m, tile_n, _interpret())[1]
+
+
+class FusedBruteForce:
+    """Prepare-once / query-many engine over the flagship fused kernel —
+    the serving shape: the reference set is staged (padded, dim-major, on
+    device) a single time; each query batch runs only the kernel."""
+
+    def __init__(self, refs, tile_m: int = 256, tile_n: int = 2048):
+        self.n = refs.shape[0]
+        self.tile_m = tile_m
+        self.r_dm, self.tile_n = prepare_refs(refs, tile_n)
+        self.r_dm = jax.device_put(self.r_dm)
+        jax.block_until_ready(self.r_dm)
+
+    def query_min_idx(self, queries):
+        q = jnp.asarray(queries, dtype=jnp.float32)
+        return _fused_on_prepared(q, self.r_dm, self.tile_m, self.tile_n, _interpret())
+
+    def query(self, queries):
+        return self.query_min_idx(queries)[1]
 
 
 # ---------------------------------------------------------------------------

@@ -76,6 +76,49 @@ def sharded_argmin(
     return idx[:m]
 
 
+@functools.lru_cache(maxsize=64)
+def _build_2d(mesh: Mesh, dp_axis: str, shard_axis: str, shard_n: int,
+              tile_m: int, tile_n: int, interpret: bool):
+    def local(q_local, r_shard):
+        min_d, lidx = _fused_call_min_idx(q_local, r_shard, tile_m, tile_n, interpret)
+        gidx = lidx + jax.lax.axis_index(shard_axis) * shard_n
+        md_all = jax.lax.all_gather(min_d, shard_axis)
+        gi_all = jax.lax.all_gather(gidx, shard_axis)
+        win = jnp.argmin(md_all, axis=0)
+        return jnp.take_along_axis(gi_all, win[None, :], axis=0)[0]
+
+    smapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(dp_axis, None), P(shard_axis, None)),
+        out_specs=P(dp_axis),
+        check_vma=False,
+    )
+    return jax.jit(smapped)
+
+
+def sharded_argmin_2d(
+    queries: jnp.ndarray,
+    refs: jnp.ndarray,
+    mesh: Mesh,
+    tile_m: int = 256,
+    tile_n: int = 2048,
+) -> jnp.ndarray:
+    """Exact 1-NN over a 2-D mesh: queries data-parallel over the first axis,
+    reference set sharded over the second (the scale-out layout: DP for
+    throughput, ref-sharding for memory; merge collective rides only the
+    shard axis). Query/ref counts are padded to multiples of the mesh axes."""
+    dp_axis, shard_axis = mesh.axis_names[0], mesh.axis_names[1]
+    n_dp = mesh.shape[dp_axis]
+    n_shard = mesh.shape[shard_axis]
+    m = queries.shape[0]
+    q = layouts.pad_queries(jnp.asarray(queries), n_dp * 8)
+    r = layouts.pad_refs(jnp.asarray(refs), n_shard * _LANE)
+    shard_n = r.shape[0] // n_shard
+    fn = _build_2d(mesh, dp_axis, shard_axis, shard_n, tile_m, tile_n, _interpret())
+    return fn(q, r)[:m]
+
+
 def nns_sharded(queries, refs, mesh: Mesh | None = None, tile_m: int = 256, tile_n: int = 2048):
     """v8/v9 analog. Falls back to the single-chip fused kernel when only one
     device is available (reference fallback contract: core.cu:774-777)."""

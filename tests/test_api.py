@@ -1,0 +1,61 @@
+"""Public API tests: registry, dispatch, fallback contract, NNEngine."""
+
+import numpy as np
+import pytest
+
+import nns_tpu
+from conftest import assert_exact
+from nns_tpu.api import NNEngine, get_version, list_versions
+from nns_tpu.data import make_dataset
+
+
+def test_registry_has_14_versions():
+    specs = list_versions()
+    assert len(specs) == 14
+    assert [s.num for s in specs] == list(range(14))
+    assert get_version("fused").num == 4
+    assert get_version(9).name == "sharded_tuned"
+    with pytest.raises(KeyError):
+        get_version("nope")
+
+
+@pytest.mark.parametrize("version", list(range(14)))
+def test_every_version_exact(version):
+    q, r = make_dataset(3, 64, 2048, seed=1000)
+    assert_exact(nns_tpu.nns(q, r, version=version), q, r)
+
+
+def test_auto_dispatch_multi_device():
+    # 8 CPU devices visible -> auto routes to the sharded path.
+    q, r = make_dataset(3, 32, 1024, seed=1)
+    assert_exact(nns_tpu.nns(q, r), q, r)
+
+
+def test_input_validation():
+    q, r = make_dataset(3, 4, 16, seed=0)
+    with pytest.raises(ValueError):
+        nns_tpu.nns(q, np.zeros((8, 5), np.float32))
+    with pytest.raises(ValueError):
+        nns_tpu.nns(q, np.zeros((0, 3), np.float32))
+
+
+def test_engine_build_query_split():
+    q, r = make_dataset(3, 32, 2048, seed=2)
+    eng = NNEngine(11).build(r)
+    assert_exact(eng.query(q), q, r)
+    # Second query reuses the built tree.
+    assert_exact(eng.query(q[:8]), q[:8], r)
+
+
+def test_engine_save_load(tmp_path):
+    q, r = make_dataset(3, 16, 1024, seed=3)
+    eng = NNEngine(10).build(r)
+    path = str(tmp_path / "tree.npz")
+    eng.save(path)
+    loaded = NNEngine.load(path, version=10)
+    np.testing.assert_array_equal(eng.query(q), loaded.query(q))
+
+
+def test_engine_query_before_build_raises():
+    with pytest.raises(RuntimeError):
+        NNEngine(4).query(np.zeros((1, 3), np.float32))
