@@ -101,7 +101,8 @@ def native_kd_build(refs: np.ndarray, max_k: int = 16):
     size = 1
     while size < n:
         size *= 2
-    heap_len = 2 * size
+    # Max heap id < 4 * size for balanced median splits (see kdtree.py).
+    heap_len = 4 * size
     perm = np.empty(heap_len, dtype=np.int32)
     dims = np.empty(heap_len, dtype=np.int32)
     ok = lib.nns_kd_build(k, n, r, perm, dims)
@@ -110,7 +111,7 @@ def native_kd_build(refs: np.ndarray, max_k: int = 16):
     return perm, dims
 
 
-def native_octree_build(refs: np.ndarray, max_depth: int, max_nodes: int):
+def native_octree_build(refs: np.ndarray, max_depth: int):
     """Octree build into flat arrays. Returns the node arrays or None."""
     lib = load_library()
     if lib is None:
@@ -119,6 +120,7 @@ def native_octree_build(refs: np.ndarray, max_depth: int, max_nodes: int):
     n, k = r.shape
     if k != 3:
         return None
+    max_nodes = 4 * n + 64  # matches the C++ bound (nns_cpu.cpp)
     children = np.empty((max_nodes, 8), dtype=np.int32)
     centers = np.empty((max_nodes, 3), dtype=np.float32)
     radii = np.empty(max_nodes, dtype=np.float32)

@@ -1,0 +1,218 @@
+// Native host-side components (C ABI, loaded via ctypes — see build.py).
+//
+// The reference implements these host-side pieces in C++ too: the linear
+// scan oracle (core.cu:11-54), the recursive KD-tree build with
+// max-variance split + nth_element median (core.cu:1092-1114), and the
+// octree build (core.cu:1525-1566). These are fresh implementations with
+// the framework's own layouts (flat arrays fit for device upload), OpenMP
+// where it pays.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// v0: exact linear scan, lowest-index tie-break, OpenMP over queries.
+// ---------------------------------------------------------------------------
+void nns_linear_scan(int k, int m, int n, const float* q, const float* r,
+                     int32_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int i = 0; i < m; ++i) {
+    const float* qi = q + (size_t)i * k;
+    float best = INFINITY;
+    int best_j = 0;
+    for (int j = 0; j < n; ++j) {
+      const float* rj = r + (size_t)j * k;
+      float d = 0.f;
+      for (int d_i = 0; d_i < k; ++d_i) {
+        float t = qi[d_i] - rj[d_i];
+        d += t * t;
+      }
+      if (d < best) {
+        best = d;
+        best_j = j;
+      }
+    }
+    out[i] = best_j;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// KD-tree build: implicit heap (root 1, children 2r/2r+1), max-variance
+// split dim, median at beg + len/2 via nth_element. perm/dims must hold
+// 4 * next_pow2(n) entries; empty slots get -1.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct KDCtx {
+  const float* refs;
+  int k;
+  int32_t* perm;
+  int32_t* dims;
+  int64_t heap_len;
+};
+
+void kd_rec(KDCtx& ctx, int32_t* idx, int64_t beg, int64_t end, int64_t node,
+            int depth) {
+  if (beg >= end || node >= ctx.heap_len) return;
+  const int k = ctx.k;
+  const int64_t len = end - beg;
+
+  // Split dimension = max variance (reference behavior, core.cu:1096-1108).
+  int best_d = 0;
+  double best_var = -1.0;
+  for (int d = 0; d < k; ++d) {
+    double s = 0.0, s2 = 0.0;
+    for (int64_t i = beg; i < end; ++i) {
+      double v = ctx.refs[(size_t)idx[i] * k + d];
+      s += v;
+      s2 += v * v;
+    }
+    double var = s2 - s * s / (double)len;
+    if (var > best_var) {
+      best_var = var;
+      best_d = d;
+    }
+  }
+
+  const int64_t mid = beg + len / 2;
+  std::nth_element(idx + beg, idx + mid, idx + end,
+                   [&](int32_t a, int32_t b) {
+                     return ctx.refs[(size_t)a * k + best_d] <
+                            ctx.refs[(size_t)b * k + best_d];
+                   });
+  ctx.perm[node] = idx[mid];
+  ctx.dims[node] = best_d;
+
+  // Parallelize the top of the tree only (task overhead below that).
+  if (depth < 4 && len > 4096) {
+#pragma omp task shared(ctx)
+    kd_rec(ctx, idx, beg, mid, node * 2, depth + 1);
+#pragma omp task shared(ctx)
+    kd_rec(ctx, idx, mid + 1, end, node * 2 + 1, depth + 1);
+#pragma omp taskwait
+  } else {
+    kd_rec(ctx, idx, beg, mid, node * 2, depth + 1);
+    kd_rec(ctx, idx, mid + 1, end, node * 2 + 1, depth + 1);
+  }
+}
+
+}  // namespace
+
+int nns_kd_build(int k, int n, const float* refs, int32_t* perm,
+                 int32_t* dims) {
+  int64_t size = 1;
+  while (size < n) size <<= 1;
+  const int64_t heap_len = 4 * size;
+  std::fill(perm, perm + heap_len, -1);
+  std::fill(dims, dims + heap_len, 0);
+  std::vector<int32_t> idx(n);
+  for (int i = 0; i < n; ++i) idx[i] = i;
+  KDCtx ctx{refs, k, perm, dims, heap_len};
+#pragma omp parallel
+  {
+#pragma omp single
+    kd_rec(ctx, idx.data(), 0, n, 1, 0);
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Octree build (3-D): linearized nodes — children[8], center, radius (cube
+// half extent), leaf point ranges over a permutation array. Same rules as
+// the framework's numpy build: octant bit j = (p[j] > c[j]) << j, leaf when
+// depth >= max_depth or count <= 1. Returns node count, or -1 on overflow.
+// ---------------------------------------------------------------------------
+namespace {
+
+struct OctCtx {
+  const float* refs;
+  int32_t* children;  // (max_nodes, 8)
+  float* centers;     // (max_nodes, 3)
+  float* radii;
+  int32_t* starts;
+  int32_t* counts;
+  int32_t* order;
+  int32_t max_nodes;
+  int32_t n_nodes;
+  int max_depth;
+};
+
+int oct_rec(OctCtx& ctx, int64_t beg, int64_t end, const float c[3], float rad,
+            int depth) {
+  if (ctx.n_nodes >= ctx.max_nodes) return -1;
+  const int node = ctx.n_nodes++;
+  ctx.starts[node] = (int32_t)beg;
+  ctx.counts[node] = (int32_t)(end - beg);
+  std::memcpy(ctx.centers + 3 * (size_t)node, c, 3 * sizeof(float));
+  ctx.radii[node] = rad;
+  for (int o = 0; o < 8; ++o) ctx.children[8 * (size_t)node + o] = -1;
+
+  if (depth >= ctx.max_depth || end - beg <= 1) return node;  // leaf
+
+  // Partition the order slice into the 8 octants (stable, id-ascending
+  // within octant, matching the vectorized numpy build).
+  int64_t cnt[8] = {0};
+  auto oct_of = [&](int32_t p) {
+    const float* pt = ctx.refs + 3 * (size_t)p;
+    return ((pt[0] > c[0]) ? 1 : 0) | ((pt[1] > c[1]) ? 2 : 0) |
+           ((pt[2] > c[2]) ? 4 : 0);
+  };
+  for (int64_t i = beg; i < end; ++i) cnt[oct_of(ctx.order[i])]++;
+  int64_t offs[9] = {0};
+  for (int o = 0; o < 8; ++o) offs[o + 1] = offs[o] + cnt[o];
+  std::vector<int32_t> tmp(end - beg);
+  int64_t cursor[8];
+  std::memcpy(cursor, offs, 8 * sizeof(int64_t));
+  for (int64_t i = beg; i < end; ++i) {
+    int32_t p = ctx.order[i];
+    tmp[cursor[oct_of(p)]++] = p;
+  }
+  std::memcpy(ctx.order + beg, tmp.data(), (end - beg) * sizeof(int32_t));
+
+  for (int o = 0; o < 8; ++o) {
+    if (cnt[o] == 0) continue;
+    float cc[3];
+    for (int d = 0; d < 3; ++d)
+      cc[d] = c[d] + (((o >> d) & 1) ? rad / 2 : -rad / 2);
+    int child = oct_rec(ctx, beg + offs[o], beg + offs[o + 1], cc, rad / 2,
+                        depth + 1);
+    if (child < 0) return -1;
+    ctx.children[8 * (size_t)node + o] = child;
+  }
+  return node;
+}
+
+}  // namespace
+
+int nns_octree_build(int k, int n, const float* refs, int32_t* children,
+                     float* centers, float* radii, int32_t* starts,
+                     int32_t* counts, int32_t* order, int max_depth) {
+  if (k != 3 || n < 1) return -1;
+  float mn[3] = {INFINITY, INFINITY, INFINITY};
+  float mx[3] = {-INFINITY, -INFINITY, -INFINITY};
+  for (int64_t i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      float v = refs[3 * i + d];
+      mn[d] = std::min(mn[d], v);
+      mx[d] = std::max(mx[d], v);
+    }
+  float c[3], rad = 0.f;
+  for (int d = 0; d < 3; ++d) {
+    c[d] = (mn[d] + mx[d]) / 2;
+    rad = std::max(rad, (mx[d] - mn[d]) / 2);
+  }
+  rad += 1e-7f;
+  for (int i = 0; i < n; ++i) order[i] = i;
+  // max_nodes is implied by the caller's allocation: 4n + 64 (see build.py).
+  OctCtx ctx{refs, children, centers, radii, starts, counts, order,
+             4 * n + 64, 0, max_depth};
+  if (oct_rec(ctx, 0, n, c, rad, 0) < 0) return -1;
+  return ctx.n_nodes;
+}
+
+}  // extern "C"

@@ -51,6 +51,17 @@ class Octree:
         n, k = refs.shape
         if k != 3:
             raise ValueError("octree requires 3-D points")
+        from nns_tpu.native import native_octree_build
+
+        native = native_octree_build(refs, max_depth)
+        if native is not None:
+            children, centers, radii, starts, counts, order = native
+            return cls(refs, children, centers, radii, starts, counts, order, max_depth)
+        return cls._build_numpy(refs, max_depth)
+
+    @classmethod
+    def _build_numpy(cls, refs: np.ndarray, max_depth: int = 9) -> "Octree":
+        n, k = refs.shape
 
         mn, mx = refs.min(axis=0), refs.max(axis=0)
         root_c = (mn + mx) / 2.0

@@ -1,0 +1,66 @@
+"""Supercell engine tests: exactness on uniform + adversarial data, fallback
+certificate, dispatch contract."""
+
+import numpy as np
+import pytest
+
+from conftest import assert_exact
+from nns_tpu.data import make_dataset
+from nns_tpu.kernels.cell_list import CellListEngine, nns_cell_list
+
+
+@pytest.mark.parametrize("m,n", [(64, 8192), (200, 32768), (1, 8192)])
+def test_cell_list_exact(m, n):
+    q, r = make_dataset(3, m, n, seed=1000)
+    assert_exact(nns_cell_list(q, r), q, r)
+
+
+def test_cell_list_engine_reuse():
+    q, r = make_dataset(3, 128, 16384, seed=1)
+    eng = CellListEngine(r)
+    assert_exact(eng.query(q), q, r)
+    assert_exact(eng.query(q[:16]), q[:16], r)
+
+
+def test_cell_list_far_query_fallback():
+    # Query far outside the data cloud: certificate fails (best > halo),
+    # exact fallback must kick in.
+    _, r = make_dataset(3, 1, 8192, seed=2)
+    r = r * np.float32(0.1)  # compress cloud
+    q = np.array([[0.95, 0.95, 0.95]], dtype=np.float32)
+    eng = CellListEngine(r)
+    idx, ok = eng.query_with_flags(q)
+    assert not ok.all()  # certificate correctly rejects
+    assert_exact(eng.query(q), q, r)
+
+
+def test_cell_list_empty_supercell():
+    # Points only in one corner; queries in empty regions still exact.
+    rng = np.random.default_rng(3)
+    r = (rng.random((8192, 3)) * 0.3).astype(np.float32)
+    q = rng.random((32, 3)).astype(np.float32)
+    assert_exact(nns_cell_list(q, r), q, r)
+
+
+def test_cell_list_duplicate_lowest_index():
+    rng = np.random.default_rng(4)
+    r = rng.random((8192, 3), dtype=np.float32)
+    target = np.array([0.5, 0.5, 0.5], dtype=np.float32)
+    for w in (11, 4000, 8000):
+        r[w] = target
+    q = target[None, :]
+    assert CellListEngine(r).query(q)[0] == 11
+
+
+def test_cell_list_clustered_overflow_guard():
+    # Extremely clustered data must either work exactly or raise the
+    # overflow guard (and the wrapper falls back to the fused kernel).
+    rng = np.random.default_rng(5)
+    r = (rng.normal(0, 0.001, (8192, 3)) + 0.5).astype(np.float32)
+    q = rng.random((16, 3)).astype(np.float32)
+    assert_exact(nns_cell_list(q, r), q, r)
+
+
+def test_cell_list_non_3d_routes_to_fused():
+    q, r = make_dataset(5, 16, 8192, seed=6)
+    assert_exact(nns_cell_list(q, r), q, r)
