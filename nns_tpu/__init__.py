@@ -23,5 +23,31 @@ neighbor of the float32 inputs (verified against a float64 oracle).
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache (opt out: NNS_TPU_NO_COMPILE_CACHE=1).
+
+    Kernel compiles through remote-compile TPU runtimes can take minutes;
+    the cache makes every process after the first start in seconds — the
+    durable form of the reference's warm-up trick (core.cu:1900-1933)."""
+    if _os.environ.get("NNS_TPU_NO_COMPILE_CACHE") == "1":
+        return
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir is None:
+            path = _os.path.expanduser("~/.cache/nns_tpu_jax")
+            _os.makedirs(path, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", path)
+            jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_compile_cache()
+
 from nns_tpu.api import nns, get_version, list_versions, NNEngine  # noqa: F401
 from nns_tpu.config import BenchConfig, REFERENCE_GRID, DEFAULT_SEED  # noqa: F401

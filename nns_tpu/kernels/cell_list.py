@@ -14,31 +14,36 @@ Build (host, vectorized):
     with distance sentinels, plus their global ids. Query-independent, so
     the runtime needs NO gathers at all.
 
-Query (jit, static shapes):
-  - bucket queries by supercell, argsort, scatter into a dense
-    (G, Q_max, k) tensor;
-  - one dense masked direct-distance scan per supercell — a batched
-    (Q_max x R_max) fused VPU computation over ~n*(W+2*halo)^3/W^3/D^3
-    candidates instead of n;
-  - unscatter. Exactness certificate: a result is proven exact iff
-    best_dist <= halo (every unscanned point is farther than ``halo``);
-    queries failing it (probability e^-30-ish on uniform data; possible on
-    adversarial data) fall back to the exact full scan.
+Query:
+  - bucket queries by supercell and scatter into a dense (G, Q_max, k)
+    tensor — on the HOST (10^4 rows of numpy indexing; XLA scatters of this
+    shape are a compile tarpit);
+  - one Pallas kernel, grid (G, R tiles): per supercell a dense fused
+    direct-distance scan of its query block against its halo block with a
+    carried (min, argpos) — the single-chip fused kernel (pallas_fused)
+    batched over supercells. ~n*(W+2*halo)^3/W^3/D^3 candidates per query
+    instead of n;
+  - unscatter + halo_ids lookup on host. Exactness certificate: a result is
+    proven exact iff best_dist <= halo (every unscanned point is farther
+    than ``halo``); queries failing it (probability e^-30-ish on uniform
+    data; possible on adversarial data) fall back to the exact full scan.
 
-Expected ~150x less distance work than brute force at 1M refs (uniform),
-turning the 1M x 10K benchmark from ~36 ms to the low-ms regime.
+~150x less distance work than brute force at 1M refs (uniform), turning
+the 1M x 10K benchmark from ~36 ms to the low-ms regime.
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from nns_tpu.kernels.layouts import PAD_SENTINEL
+from nns_tpu.kernels.pallas_fused import _interpret
 
 
 def _pow2_at_least(x: int) -> int:
@@ -46,6 +51,84 @@ def _pow2_at_least(x: int) -> int:
     while p < x:
         p *= 2
     return p
+
+
+_TR = 8192  # halo points per kernel step (R_max is tiled when larger)
+_GB = 8     # supercells per grid step (amortizes per-step fixed costs)
+
+
+def _cell_kernel(q_ref, h_ref, min_ref, pos_ref, *, gb: int):
+    """GB supercells x one halo tile: fused direct distance + carried argmin.
+
+    q_ref: (GB, QM, 3) queries; h_ref: (GB, 3, TR) dim-major halo points;
+    outputs (GB, QM, 1) carried (min, position-in-R_max) per supercell."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min_ref[:] = jnp.full(min_ref.shape, jnp.inf, dtype=jnp.float32)
+        pos_ref[:] = jnp.zeros(pos_ref.shape, dtype=jnp.int32)
+
+    for g in range(gb):
+        q = q_ref[g]   # (QM, 3)
+        h = h_ref[g]   # (3, TR)
+        qm, tr = q.shape[0], h.shape[1]
+        d2 = jnp.zeros((qm, tr), dtype=jnp.float32)
+        for d in range(3):
+            diff = q[:, d : d + 1] - h[d : d + 1, :]
+            d2 = d2 + diff * diff
+        local_min = jnp.min(d2, axis=1, keepdims=True)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        local_arg = jnp.min(jnp.where(d2 == local_min, cols, tr), axis=1, keepdims=True)
+        better = local_min < min_ref[g]
+        pos_ref[g] = jnp.where(better, j * tr + local_arg, pos_ref[g])
+        min_ref[g] = jnp.where(better, local_min, min_ref[g])
+
+
+def _cell_scan(dense_q, halo_dm, interpret: bool):
+    """dense_q: (G, QM, 3); halo_dm: (G, 3, R_max). Returns per-slot
+    (min_d (G, QM, 1), argpos (G, QM, 1))."""
+    g_total, qm, _ = dense_q.shape
+    r_max = halo_dm.shape[2]
+    tr = min(_TR, r_max)
+    gb = _GB if g_total % _GB == 0 else 1
+    return pl.pallas_call(
+        functools.partial(_cell_kernel, gb=gb),
+        grid=(g_total // gb, r_max // tr),
+        in_specs=[
+            pl.BlockSpec((gb, qm, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 3, tr), lambda g, j: (g, 0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((gb, qm, 1), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, qm, 1), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((g_total, qm, 1), jnp.float32),
+            jax.ShapeDtypeStruct((g_total, qm, 1), jnp.int32),
+        ),
+        interpret=interpret,
+    )(dense_q, halo_dm)
+
+
+@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret"))
+def _device_query(packed_in, halo_dm, halo_ids, halo2,
+                  q_max: int, g_total: int, interpret: bool):
+    """Fused device path: ONE packed upload (m, 5) f32 [qx, qy, qz, sid, pos]
+    -> scatter into the dense per-supercell tensor, scan kernel, unscatter,
+    global-id lookup -> ONE packed (2, m) i32 result. A single host
+    round-trip each way per batch (remote-tunneled runtimes charge ~10 ms
+    per in-stream upload and ~35 ms per result fetch)."""
+    q_sorted = packed_in[:, :3]
+    sid_s = packed_in[:, 3].astype(jnp.int32)   # exact for values < 2^24
+    pos = packed_in[:, 4].astype(jnp.int32)
+    dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
+    dmin, dpos = _cell_scan(dense_q, halo_dm, interpret)
+    d2 = dmin[sid_s, pos, 0]
+    rpos = dpos[sid_s, pos, 0]
+    idx = halo_ids[sid_s, rpos]
+    ok = d2 <= halo2
+    return jnp.stack([idx, ok.astype(jnp.int32)])  # (2, m), in sorted order
 
 
 class CellListEngine:
@@ -109,16 +192,17 @@ class CellListEngine:
                 f"supercell halo overflow (R_max={r_max}): data too clustered "
                 "for the cell-list engine — use the fused kernel or octree"
             )
-        self.R_max = _pow2_at_least(max(r_max, 8))
+        self.R_max = _pow2_at_least(max(r_max, 128))
         starts = np.concatenate([[0], np.cumsum(counts)])
         halo_pts = np.full((G, self.R_max, 3), PAD_SENTINEL, dtype=np.float32)
         halo_ids = np.zeros((G, self.R_max), dtype=np.int32)
         pos = np.arange(len(pt)) - starts[gid]
         halo_pts[gid, pos] = refs[pt]
         halo_ids[gid, pos] = pt.astype(np.int32)
-        self.halo_pts = jax.device_put(jnp.asarray(halo_pts))
-        self.halo_ids = jax.device_put(jnp.asarray(halo_ids))
-        jax.block_until_ready((self.halo_pts, self.halo_ids))
+        self.halo_dm = jax.device_put(jnp.asarray(np.swapaxes(halo_pts, 1, 2)))
+        self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))
+        jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
+        self.halo_ids = halo_ids
         self.avg_candidates = float(counts.mean())
 
     # -- query ------------------------------------------------------------
@@ -128,48 +212,52 @@ class CellListEngine:
         g = np.clip(g, 0, self.D - 1)
         return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
 
-    @staticmethod
-    @functools.partial(jax.jit, static_argnames=("q_max", "g_total"))
-    def _scan(q_sorted, sid_sorted, pos_sorted, halo_pts, halo_ids,
-              q_max: int, g_total: int):
-        m = q_sorted.shape[0]
-        dense_q = jnp.full((g_total, q_max, 3), 0.0, dtype=jnp.float32)
-        dense_q = dense_q.at[sid_sorted, pos_sorted].set(q_sorted)
-
-        # Dense per-supercell direct-distance scan; XLA fuses the broadcast,
-        # square, sum and min so the (G, Q_max, R_max) tensor never fully
-        # materializes in HBM.
-        diff = dense_q[:, :, None, :] - halo_pts[:, None, :, :]
-        d2 = jnp.sum(diff * diff, axis=-1)            # (G, Q_max, R_max)
-        best = jnp.min(d2, axis=-1)                   # (G, Q_max)
-        arg = jnp.argmin(d2, axis=-1)                 # first hit = lowest id
-        idx = jnp.take_along_axis(halo_ids, arg, axis=1)
-
-        out_d = best[sid_sorted, pos_sorted]
-        out_i = idx[sid_sorted, pos_sorted]
-        return out_d, out_i
-
-    def query_with_flags(self, queries: np.ndarray):
+    def stage(self, queries: np.ndarray):
+        """Host-side bucketing: sort queries by supercell, compute slot
+        positions, pack into one (m, 5) f32 upload array. Returns
+        (packed_np, order, q_max) — feed to ``query_staged`` (optionally
+        after a jax.device_put to pre-stage the upload)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
         sid = self._group_of(q)
         order = np.argsort(sid, kind="stable")
         sid_s = sid[order]
         counts = np.bincount(sid_s, minlength=self.D ** 3)
-        q_max = _pow2_at_least(max(int(counts.max()), 1))
+        q_max = _pow2_at_least(max(int(counts.max()), 8))
         pos = np.arange(m) - np.concatenate([[0], np.cumsum(counts)])[sid_s]
-        d2, idx = CellListEngine._scan(
-            jnp.asarray(q[order]), jnp.asarray(sid_s.astype(np.int32)),
-            jnp.asarray(pos.astype(np.int32)), self.halo_pts, self.halo_ids,
-            q_max, self.D ** 3,
+        packed = np.empty((m, 5), dtype=np.float32)
+        packed[:, :3] = q[order]
+        packed[:, 3] = sid_s
+        packed[:, 4] = pos
+        return packed, order, q_max
+
+    def query_staged(self, packed, q_max: int):
+        """Device half: one dispatch over a staged (m, 5) upload array
+        (numpy or device-resident). Returns the packed (2, m) device array."""
+        return _device_query(
+            jnp.asarray(packed), self.halo_dm, self.halo_ids_dev,
+            jnp.float32(self.halo) ** 2,
+            q_max, self.D ** 3, _interpret(),
         )
-        d2 = np.asarray(d2)
-        idx = np.asarray(idx)
+
+    def query_submit(self, queries: np.ndarray):
+        """Asynchronous half: host bucketing + device dispatch. Returns a
+        token for ``query_collect``; several tokens may be in flight, so a
+        serving loop pipelines host prep with device compute."""
+        packed_np, order, q_max = self.stage(queries)
+        return (self.query_staged(packed_np, q_max), order, packed_np.shape[0])
+
+    def query_collect(self, token):
+        packed, order, m = token
+        packed = np.asarray(packed)  # the single round-trip
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)
-        d2, idx = d2[inv], idx[inv]
-        ok = d2 <= np.float32(self.halo) ** 2  # exactness certificate
+        idx = packed[0][inv].astype(np.int32)
+        ok = packed[1][inv].astype(bool)
         return idx, ok
+
+    def query_with_flags(self, queries: np.ndarray):
+        return self.query_collect(self.query_submit(queries))
 
     def query(self, queries: np.ndarray) -> np.ndarray:
         idx, ok = self.query_with_flags(queries)
