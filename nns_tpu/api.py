@@ -137,6 +137,12 @@ class VersionSpec:
         return self.fn(queries, refs, config or DEFAULT_ENGINE_CONFIG)
 
 
+def _v14(q, r, cfg):
+    from nns_tpu.kernels.cell_list import nns_cell_list
+
+    return _as_idx(nns_cell_list(q, r))
+
+
 _SPECS = [
     VersionSpec(0, "cpu_scan", "cpu", _v0, "CPU linear scan (oracle; core.cu v0)"),
     VersionSpec(1, "distance_matrix", "bruteforce", _v1, "materialized HBM distance matrix + argmin (v1)"),
@@ -152,6 +158,8 @@ _SPECS = [
     VersionSpec(11, "kdtree_device", "tree", _v11, "KD-tree host build + batched device traversal (v11 — actually runs, unlike core.cu:1345)"),
     VersionSpec(12, "octree_host", "tree", _v12, "octree host build + host query (v12)"),
     VersionSpec(13, "octree_device", "tree", _v13, "octree host build + batched device traversal (v13 — actually runs, unlike core.cu:1793)"),
+    # Beyond the reference ladder: the framework's own flagship spatial index.
+    VersionSpec(14, "cells", "tree", _v14, "supercell dense spatial index, batched Pallas scan + exactness certificate (beyond-ladder flagship for 3-D)"),
 ]
 
 REGISTRY: dict[int, VersionSpec] = {s.num: s for s in _SPECS}
@@ -195,7 +203,12 @@ def nns(
     if version == "auto":
         import jax
 
-        spec = REGISTRY[8] if len(jax.devices()) > 1 else REGISTRY[4]
+        if len(jax.devices()) > 1:
+            spec = REGISTRY[8]
+        elif queries.shape[1] == 3 and refs.shape[0] >= 65536:
+            spec = REGISTRY[14]  # supercell flagship for large 3-D sets
+        else:
+            spec = REGISTRY[4]
     else:
         spec = get_version(version)
     return spec(queries, refs, cfg)
@@ -226,7 +239,14 @@ class NNEngine:
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
         self._refs = refs
         if self.spec.family == "tree":
-            if self.spec.num in (10, 11) and refs.shape[1] <= self.config.kd_max_k:
+            if self.spec.num == 14 and refs.shape[1] == 3 and refs.shape[0] >= 4096:
+                from nns_tpu.kernels.cell_list import CellListEngine
+
+                try:
+                    self._built = CellListEngine(refs)
+                except ValueError:
+                    self._built = None  # too clustered: brute-force fallback
+            elif self.spec.num in (10, 11) and refs.shape[1] <= self.config.kd_max_k:
                 from nns_tpu.trees.kdtree import KDTree
 
                 self._built = KDTree.build(refs)
@@ -248,6 +268,8 @@ class NNEngine:
             raise RuntimeError("call build(refs) first")
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
         if self.spec.family == "tree" and self._built is not None:
+            if self.spec.num == 14:
+                return _as_idx(self._built.query(queries))
             if self.spec.num == 10:
                 return _as_idx(self._built.query_host(queries))
             if self.spec.num == 11:

@@ -9,17 +9,18 @@ from nns_tpu.api import NNEngine, get_version, list_versions
 from nns_tpu.data import make_dataset
 
 
-def test_registry_has_14_versions():
+def test_registry_has_ladder_plus_flagship():
     specs = list_versions()
-    assert len(specs) == 14
-    assert [s.num for s in specs] == list(range(14))
+    assert len(specs) == 15  # v0..v13 ladder parity + the v14 flagship
+    assert [s.num for s in specs] == list(range(15))
     assert get_version("fused").num == 4
     assert get_version(9).name == "sharded_tuned"
+    assert get_version("cells").num == 14
     with pytest.raises(KeyError):
         get_version("nope")
 
 
-@pytest.mark.parametrize("version", list(range(14)))
+@pytest.mark.parametrize("version", list(range(15)))
 def test_every_version_exact(version):
     q, r = make_dataset(3, 64, 2048, seed=1000)
     assert_exact(nns_tpu.nns(q, r, version=version), q, r)
