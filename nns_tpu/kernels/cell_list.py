@@ -148,7 +148,9 @@ class CellListEngine:
         mx = refs.max(axis=0)
         extent = np.maximum(mx - mn, 1e-6)
         if d_per_dim is None:
-            d_per_dim = max(1, min(32, round((n / 2000.0) ** (1.0 / 3.0))))
+            # ~350 points per supercell measured fastest on v5e (D=14 at
+            # n=1M: 2.6 ms for 10K queries vs 4.2 ms at D=8).
+            d_per_dim = max(1, min(24, round((n / 350.0) ** (1.0 / 3.0))))
         self.D = d_per_dim
         self.W = (extent / self.D).astype(np.float64)  # per-dim supercell width
         if halo is None:
