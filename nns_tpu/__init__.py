@@ -51,3 +51,4 @@ _enable_compile_cache()
 
 from nns_tpu.api import nns, get_version, list_versions, NNEngine  # noqa: F401
 from nns_tpu.config import BenchConfig, REFERENCE_GRID, DEFAULT_SEED  # noqa: F401
+from nns_tpu.kernels.topk import nns_topk  # noqa: F401

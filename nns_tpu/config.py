@@ -40,7 +40,7 @@ class BenchConfig:
     data for every version.
     """
 
-    versions: Sequence[int] = tuple(range(14))
+    versions: Sequence[int] = tuple(range(15))  # ladder v0..v13 + v14 flagship
     grid: Sequence[tuple[int, int, int]] = REFERENCE_GRID
     seed: int = DEFAULT_SEED
     # Warm-up runs per jitted callable before timing (reference analog: the

@@ -134,10 +134,15 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-recall", action="store_true", help="skip oracle recall check")
     p.add_argument("--jsonl", default=None, help="append structured records to this JSONL file")
+    p.add_argument(
+        "--profile-dir", default=None,
+        help="dump a jax.profiler trace of the whole run to this directory "
+             "(the tracing subsystem the reference lacks, SURVEY.md §5)",
+    )
     args = p.parse_args(argv)
 
     if args.versions == "all":
-        versions: tuple = tuple(range(14))
+        versions: tuple = tuple(range(15))
     else:
         versions = tuple(
             int(v) if v.strip().isdigit() else v.strip() for v in args.versions.split(",")
@@ -151,7 +156,13 @@ def main(argv: list[str] | None = None) -> int:
         check_recall=not args.no_recall,
         jsonl_path=args.jsonl,
     )
-    records = run(cfg)
+    if args.profile_dir:
+        import jax
+
+        with jax.profiler.trace(args.profile_dir):
+            records = run(cfg)
+    else:
+        records = run(cfg)
     print()
     print(format_table(records))
     bad = [r for r in records if r.recall_at_1 is not None and r.recall_at_1 < 1.0]

@@ -274,6 +274,36 @@ class CellListEngine:
         return idx.astype(np.int32)
 
 
+    # -- persistence (checkpoint subsystem, SURVEY.md §5) ------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            refs=self.refs,
+            halo_pts=np.swapaxes(np.asarray(self.halo_dm), 1, 2),
+            halo_ids=self.halo_ids,
+            meta=np.array([self.D, self.R_max], dtype=np.int64),
+            geo=np.concatenate([self.mn, self.W, [self.halo]]).astype(np.float64),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CellListEngine":
+        with np.load(path) as z:
+            eng = cls.__new__(cls)
+            eng.refs = z["refs"]
+            eng.n = eng.refs.shape[0]
+            eng.D, eng.R_max = (int(v) for v in z["meta"])
+            geo = z["geo"]
+            eng.mn, eng.W, eng.halo = geo[0:3], geo[3:6], float(geo[6])
+            halo_pts = z["halo_pts"]
+            eng.halo_ids = z["halo_ids"]
+            eng.halo_dm = jax.device_put(jnp.asarray(np.swapaxes(halo_pts, 1, 2)))
+            eng.halo_ids_dev = jax.device_put(jnp.asarray(eng.halo_ids))
+            jax.block_until_ready((eng.halo_dm, eng.halo_ids_dev))
+            eng.avg_candidates = float((halo_pts[..., 0] < PAD_SENTINEL).sum() / eng.D ** 3)
+            return eng
+
+
 def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
     """One-shot wrapper; non-3-D or tiny reference sets route to the fused
     kernel (capability-dispatch contract, SURVEY.md §5)."""

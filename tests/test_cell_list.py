@@ -64,3 +64,14 @@ def test_cell_list_clustered_overflow_guard():
 def test_cell_list_non_3d_routes_to_fused():
     q, r = make_dataset(5, 16, 8192, seed=6)
     assert_exact(nns_cell_list(q, r), q, r)
+
+
+def test_cell_list_save_load(tmp_path):
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 32, 8192, seed=7)
+    eng = CellListEngine(r)
+    path = str(tmp_path / "cells.npz")
+    eng.save(path)
+    loaded = CellListEngine.load(path)
+    np.testing.assert_array_equal(eng.query(q), loaded.query(q))
