@@ -256,17 +256,26 @@ class NNEngine:
                 self._built = Octree.build(refs, max_depth=self.config.octree_max_depth)
             else:
                 self._built = None  # falls back to brute force at query time
+        elif self.spec.num == 4:
+            # Prepare-once/query-many staging for the fused flagship.
+            from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+            self._built = FusedBruteForce(
+                refs, tile_m=self.config.tile_m, tile_n=self.config.tile_n
+            )
         else:
             import jax
 
-            self._staged = jax.device_put(refs)
-            jax.block_until_ready(self._staged)
+            staged = jax.device_put(refs)
+            jax.block_until_ready(staged)
         return self
 
     def query(self, queries) -> np.ndarray:
         if self._refs is None:
             raise RuntimeError("call build(refs) first")
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if self.spec.num == 4 and self._built is not None:
+            return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:
                 return _as_idx(self._built.query(queries))
