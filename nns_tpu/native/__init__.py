@@ -14,6 +14,8 @@ from nns_tpu.native.build import (  # noqa: F401
     load_library,
     native_available,
     native_kd_build,
+    native_kd_query,
     native_linear_scan,
     native_octree_build,
+    native_octree_query,
 )

@@ -66,6 +66,14 @@ def load_library() -> ctypes.CDLL | None:
             i32p, f32p, f32p, i32p, i32p, i32p, ctypes.c_int,
         ]
         lib.nns_octree_build.restype = ctypes.c_int
+        lib.nns_kd_query.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int64, f32p, f32p, i32p, i32p, i32p,
+        ]
+        lib.nns_kd_query.restype = None
+        lib.nns_octree_query.argtypes = [
+            ctypes.c_int, f32p, f32p, i32p, f32p, f32p, i32p, i32p, i32p, i32p,
+        ]
+        lib.nns_octree_query.restype = None
         _lib = lib
         return _lib
 
@@ -109,6 +117,44 @@ def native_kd_build(refs: np.ndarray, max_k: int = 16):
     if ok != 0:
         return None
     return perm, dims
+
+
+def native_kd_query(refs, queries, node_point, node_dim) -> np.ndarray | None:
+    """OpenMP batched KD-tree query over the implicit-heap arrays."""
+    lib = load_library()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(refs, dtype=np.float32)
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    perm = np.ascontiguousarray(node_point, dtype=np.int32)
+    dims = np.ascontiguousarray(node_dim, dtype=np.int32)
+    m, k = q.shape
+    out = np.empty(m, dtype=np.int32)
+    lib.nns_kd_query(k, m, len(perm), r, q, perm, dims, out)
+    return out
+
+
+def native_octree_query(tree, queries) -> np.ndarray | None:
+    """OpenMP batched octree query over the linearized node arrays."""
+    lib = load_library()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    m = q.shape[0]
+    out = np.empty(m, dtype=np.int32)
+    lib.nns_octree_query(
+        m,
+        np.ascontiguousarray(tree.refs, dtype=np.float32),
+        q,
+        np.ascontiguousarray(tree.children, dtype=np.int32),
+        np.ascontiguousarray(tree.center, dtype=np.float32),
+        np.ascontiguousarray(tree.radius, dtype=np.float32),
+        np.ascontiguousarray(tree.start, dtype=np.int32),
+        np.ascontiguousarray(tree.count, dtype=np.int32),
+        np.ascontiguousarray(tree.order, dtype=np.int32),
+        out,
+    )
+    return out
 
 
 def native_octree_build(refs: np.ndarray, max_depth: int):

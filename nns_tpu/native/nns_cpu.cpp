@@ -122,6 +122,137 @@ int nns_kd_build(int k, int n, const float* refs, int32_t* perm,
 }
 
 // ---------------------------------------------------------------------------
+// KD-tree query: per-query iterative best-first descent with hyperplane
+// pruning (the reference's ask(), core.cu:1123-1138, made stackless),
+// OpenMP over queries. Exact under ties (returns a true nearest neighbor;
+// strict-< keeps the first optimum encountered in traversal order).
+// ---------------------------------------------------------------------------
+void nns_kd_query(int k, int m, int64_t heap_len, const float* refs,
+                  const float* queries, const int32_t* perm,
+                  const int32_t* dims, int32_t* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int i = 0; i < m; ++i) {
+    const float* q = queries + (size_t)i * k;
+    int64_t stack_n[96];
+    float stack_b[96];
+    int sp = 0;
+    stack_n[sp] = 1;
+    stack_b[sp++] = 0.f;
+    float best = INFINITY;
+    int32_t best_i = 0;
+    while (sp) {
+      --sp;
+      const int64_t node = stack_n[sp];
+      const float bound = stack_b[sp];
+      if (bound >= best) continue;
+      const int32_t p = perm[node];
+      if (p < 0) continue;
+      const float* rp = refs + (size_t)p * k;
+      float d = 0.f;
+      for (int di = 0; di < k; ++di) {
+        const float t = q[di] - rp[di];
+        d += t * t;
+      }
+      if (d < best) {
+        best = d;
+        best_i = p;
+      }
+      const int dim = dims[node];
+      const float delta = q[dim] - rp[dim];
+      const int64_t near_c = 2 * node + (delta >= 0 ? 1 : 0);
+      const int64_t far_c = near_c ^ 1;
+      if (far_c < heap_len && perm[far_c] >= 0 && delta * delta < best) {
+        stack_n[sp] = far_c;
+        stack_b[sp++] = delta * delta;
+      }
+      if (near_c < heap_len && perm[near_c] >= 0) {
+        stack_n[sp] = near_c;
+        stack_b[sp++] = bound;
+      }
+    }
+    out[i] = best_i;
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Octree query: per-query DFS with cube-distance pruning + leaf scans
+// (exact, unlike the reference's 3-face-neighbor heuristic), OpenMP over
+// queries (the reference parallelizes octree queries too, core.cu:1654).
+// Works on trees from either the native or the numpy build.
+// ---------------------------------------------------------------------------
+void nns_octree_query(int m, const float* refs, const float* queries,
+                      const int32_t* children, const float* centers,
+                      const float* radii, const int32_t* starts,
+                      const int32_t* counts, const int32_t* order,
+                      int32_t* out) {
+#pragma omp parallel for schedule(dynamic, 64)
+  for (int i = 0; i < m; ++i) {
+    const float* q = queries + (size_t)i * 3;
+    int32_t stack_n[256];
+    float stack_b[256];
+    int sp = 0;
+    stack_n[sp] = 0;
+    stack_b[sp++] = 0.f;
+    float best = INFINITY;
+    int32_t best_i = 0;
+    while (sp) {
+      --sp;
+      const int32_t node = stack_n[sp];
+      if (stack_b[sp] >= best) continue;
+      const int32_t* ch = children + 8 * (size_t)node;
+      bool leaf = true;
+      for (int o = 0; o < 8; ++o)
+        if (ch[o] >= 0) { leaf = false; break; }
+      if (leaf) {
+        const int32_t s = starts[node], c = counts[node];
+        for (int32_t j = 0; j < c; ++j) {
+          const int32_t p = order[s + j];
+          const float* rp = refs + (size_t)p * 3;
+          float d = 0.f;
+          for (int di = 0; di < 3; ++di) {
+            const float t = q[di] - rp[di];
+            d += t * t;
+          }
+          if (d < best || (d == best && p < best_i)) {
+            best = d;
+            best_i = p;
+          }
+        }
+        continue;
+      }
+      // Compute child bounds; push far-to-near so nearest pops first.
+      float cb[8];
+      int ord[8];
+      int nc = 0;
+      for (int o = 0; o < 8; ++o) {
+        if (ch[o] < 0) continue;
+        const float* cc = centers + 3 * (size_t)ch[o];
+        const float cr = radii[ch[o]];
+        float b = 0.f;
+        for (int di = 0; di < 3; ++di) {
+          float g = std::fabs(q[di] - cc[di]) - cr;
+          if (g > 0) b += g * g;
+        }
+        if (b < best) {
+          cb[nc] = b;
+          ord[nc++] = o;
+        }
+      }
+      for (int a = 1; a < nc; ++a)  // tiny insertion sort, descending bound
+        for (int b2 = a; b2 > 0 && cb[b2] > cb[b2 - 1]; --b2) {
+          std::swap(cb[b2], cb[b2 - 1]);
+          std::swap(ord[b2], ord[b2 - 1]);
+        }
+      for (int a = 0; a < nc; ++a) {
+        stack_n[sp] = ch[ord[a]];
+        stack_b[sp++] = cb[a];
+      }
+    }
+    out[i] = best_i;
+  }
+}
+
+// ---------------------------------------------------------------------------
 // Octree build (3-D): linearized nodes — children[8], center, radius (cube
 // half extent), leaf point ranges over a permutation array. Same rules as
 // the framework's numpy build: octant bit j = (p[j] > c[j]) << j, leaf when

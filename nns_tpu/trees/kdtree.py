@@ -123,9 +123,14 @@ class KDTree:
         return self.depth + 4
 
     def query_host(self, queries: np.ndarray) -> np.ndarray:
-        """Batched stackless traversal in numpy (v10: the CPU query path;
-        reference queries serially per point, core.cu:1160-1161 — ours runs
-        all m queries per step, vectorized)."""
+        """Batched CPU traversal (v10). Native C++/OpenMP per-query descent
+        when available; else vectorized numpy stackless traversal (the
+        reference queries serially on one thread, core.cu:1160-1161)."""
+        from nns_tpu.native import native_kd_query
+
+        out = native_kd_query(self.refs, queries, self.node_point, self.node_dim)
+        if out is not None:
+            return out
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m, k = q.shape
         refs = self.refs

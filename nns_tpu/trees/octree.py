@@ -153,6 +153,14 @@ class Octree:
     # -- host query (v12) --------------------------------------------------
 
     def query_host(self, queries: np.ndarray) -> np.ndarray:
+        """Batched CPU traversal (v12). Native C++/OpenMP DFS when available
+        (the reference also parallelizes octree queries with OpenMP,
+        core.cu:1654-1657); else the vectorized numpy scan-mode traversal."""
+        from nns_tpu.native import native_octree_query
+
+        out = native_octree_query(self, queries)
+        if out is not None:
+            return out
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
         rows = np.arange(m)
