@@ -127,6 +127,13 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     d2 = dmin[sid_s, pos, 0]
     rpos = dpos[sid_s, pos, 0]
     idx = halo_ids[sid_s, rpos]
+    # Certificate soundness, including queries OUTSIDE the data bounding box
+    # (their cell index is clipped): every unscanned point B has per-dim
+    # gap_d to the query's cell box with sum(gap_d^2) > halo^2, and for each
+    # dim |B_d - q_d| >= gap_d — for in-box dims because q lies within its
+    # cell's range, for clipped dims because the clipped cell touches the
+    # violated boundary and B cannot lie beyond it. So dist(B, q) > halo,
+    # and best <= halo proves exactness.
     ok = d2 <= halo2
     return jnp.stack([idx, ok.astype(jnp.int32)])  # (2, m), in sorted order
 
@@ -158,7 +165,12 @@ class CellListEngine:
             # P(NN > halo) ~ exp(-n * (4/3) pi halo^3 / V) — negligible.
             volume = float(np.prod(extent))
             halo = 4.0 * (volume / max(n, 1)) ** (1.0 / 3.0) / 1.6
-        self.halo = float(halo)
+        # Soundness requires halo <= W/2 per dim: the membership enumeration
+        # below visits only the {lo, hi} supercell index per dim, i.e. at
+        # most two consecutive cells — which covers every cell within halo
+        # only when 2*halo <= W. A larger requested halo is clamped — the
+        # certificate then rejects more queries (exact fallback), never lies.
+        self.halo = float(min(halo, float(self.W.min()) / 2.0))
         self.mn = mn.astype(np.float64)
 
         # Halo membership: point p joins group g iff p is within halo of g's

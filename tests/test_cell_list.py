@@ -75,3 +75,15 @@ def test_cell_list_save_load(tmp_path):
     eng.save(path)
     loaded = CellListEngine.load(path)
     np.testing.assert_array_equal(eng.query(q), loaded.query(q))
+
+
+def test_cell_list_oversized_halo_clamped_stays_exact():
+    # halo > supercell width would make the halo-set enumeration skip
+    # middle cells; the engine must clamp it and stay exact (certificate
+    # rejects what it cannot prove).
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 64, 8192, seed=9)
+    eng = CellListEngine(r, d_per_dim=12, halo=0.5)
+    assert eng.halo <= eng.W.min() + 1e-12
+    assert_exact(eng.query(q), q, r)
