@@ -203,12 +203,11 @@ def nns(
     if version == "auto":
         import jax
 
-        if len(jax.devices()) > 1:
-            spec = REGISTRY[8]
-        elif queries.shape[1] == 3 and refs.shape[0] >= 65536:
-            spec = REGISTRY[14]  # supercell flagship for large 3-D sets
-        else:
-            spec = REGISTRY[4]
+        # One-shot semantics: no index build amortization, so brute force —
+        # sharded across every visible device, else the fused single-chip
+        # kernel. (Index-building engines pay off via NNEngine, whose auto
+        # dispatch picks the supercell flagship for large 3-D sets.)
+        spec = REGISTRY[8] if len(jax.devices()) > 1 else REGISTRY[4]
     else:
         spec = get_version(version)
     return spec(queries, refs, cfg)
@@ -227,17 +226,26 @@ class NNEngine:
 
     def __init__(self, version: int | str = "auto", config: EngineConfig | None = None):
         self.config = config or DEFAULT_ENGINE_CONFIG
-        if version == "auto":
-            import jax
-
-            version = 8 if len(jax.devices()) > 1 else 4
-        self.spec = get_version(version)
+        self._auto = version == "auto"
+        self.spec = None if self._auto else get_version(version)
         self._built: Any = None
         self._refs: np.ndarray | None = None
 
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
         self._refs = refs
+        if self._auto:
+            import jax
+
+            # Build/query semantics amortize index construction: prefer the
+            # supercell flagship for large 3-D sets on one chip, the sharded
+            # brute force across several, else the fused kernel.
+            if len(jax.devices()) > 1:
+                self.spec = get_version(8)
+            elif refs.shape[1] == 3 and refs.shape[0] >= 65536:
+                self.spec = get_version(14)
+            else:
+                self.spec = get_version(4)
         if self.spec.family == "tree":
             if self.spec.num == 14 and refs.shape[1] == 3 and refs.shape[0] >= 4096:
                 from nns_tpu.kernels.cell_list import CellListEngine

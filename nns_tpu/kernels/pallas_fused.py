@@ -225,6 +225,10 @@ def _fused_pm_kernel(q_ref, r_ref, min_ref, idx_ref, *, k: int, tile_n: int):
 @functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
 def _fused_pm_call(queries, refs, tile_m: int, tile_n: int, interpret: bool):
     m, k = queries.shape
+    # Output blocks here are (1, tm): when several query tiles exist, tm is
+    # a lane dimension and must be a multiple of 128 on real TPUs.
+    if layouts.round_up(m, _SUBLANE) > tile_m and tile_m % _LANE:
+        tile_m = layouts.round_up(tile_m, _LANE)
     q, r, tm, tn = _pad_to_tiles(queries, refs, tile_m, tile_n)
     m_pad, n_pad = q.shape[0], r.shape[0]
     grid = (pl.cdiv(m_pad, tm), pl.cdiv(n_pad, tn))
