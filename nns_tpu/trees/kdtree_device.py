@@ -22,8 +22,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _kd_query(q, refs, node_point, node_dim, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "max_steps"))
+def _kd_query(q, refs, node_point, node_dim, cap: int, max_steps: int):
     m, k = q.shape
     heap_len = node_point.shape[0]
     rows = jnp.arange(m)
@@ -33,13 +33,18 @@ def _kd_query(q, refs, node_point, node_dim, cap: int):
     sp = jnp.ones(m, dtype=jnp.int32)
     best_d = jnp.full(m, jnp.inf, dtype=jnp.float32)
     best_i = jnp.zeros(m, dtype=jnp.int32)
+    step = jnp.int32(0)
 
+    # max_steps bounds wall time: an adversarial/high-dim workload can visit
+    # O(n) nodes per query, and a latency-bound device loop that long trips
+    # runtime watchdogs. Queries still active at the cap are reported
+    # incomplete and re-answered exactly by the caller's brute-force pass.
     def cond(state):
-        _, _, sp, _, _ = state
-        return jnp.any(sp > 0)
+        _, _, sp, _, _, step = state
+        return jnp.any(sp > 0) & (step < max_steps)
 
     def body(state):
-        stack_n, stack_b, sp, best_d, best_i = state
+        stack_n, stack_b, sp, best_d, best_i, step = state
         active = sp > 0
         top = jnp.maximum(sp - 1, 0)
         node = jnp.where(active, stack_n[rows, top], 0)
@@ -79,32 +84,50 @@ def _kd_query(q, refs, node_point, node_dim, cap: int):
         stack_b = stack_b.at[rows, sp].set(jnp.where(near_ok, bound, stack_b[rows, sp]))
         sp = sp + near_ok
 
-        return stack_n, stack_b, sp, best_d, best_i
+        return stack_n, stack_b, sp, best_d, best_i, step + 1
 
-    state = (stack_n, stack_b, sp, best_d, best_i)
-    _, _, _, _, best_i = jax.lax.while_loop(cond, body, state)
-    return best_i
+    state = (stack_n, stack_b, sp, best_d, best_i, step)
+    _, _, sp, _, best_i, _ = jax.lax.while_loop(cond, body, state)
+    return best_i, sp > 0  # (answers, incomplete mask)
 
 
-def kd_query_device(tree, queries) -> np.ndarray:
+def kd_query_device(tree, queries, max_steps: int | None = None) -> np.ndarray:
     q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
-    idx = _kd_query(
+    if max_steps is None:
+        max_steps = 256 * tree.stack_cap()  # >> typical low-dim visit counts
+    idx, incomplete = _kd_query(
         q,
         jnp.asarray(tree.refs),
         jnp.asarray(tree.node_point),
         jnp.asarray(tree.node_dim),
         cap=tree.stack_cap(),
+        max_steps=max_steps,
     )
-    return np.asarray(idx)
+    idx = np.array(idx)
+    incomplete = np.asarray(incomplete)
+    if incomplete.any():
+        from nns_tpu.kernels.pallas_fused import nns_fused
+
+        bad = np.flatnonzero(incomplete)
+        idx[bad] = np.asarray(nns_fused(np.asarray(queries, dtype=np.float32)[bad], tree.refs))
+    return idx
 
 
 def nns_kdtree_device(queries, refs, max_k: int = 16) -> np.ndarray:
     """v11: KD-tree host build + batched device traversal; k > max_k falls
-    back to the linear scan (reference contract, core.cu:1435-1436)."""
+    back to the linear scan (reference contract, core.cu:1435-1436), and
+    6 < k <= max_k to the fused device kernel — high-dimensional KD pruning
+    degenerates toward a full scan, which the dense kernel does far faster
+    than a divergent traversal (TPU-specific capability dispatch,
+    SURVEY.md §5)."""
     if refs.shape[1] > max_k:
         from nns_tpu.kernels.oracle import linear_scan
 
         return linear_scan(queries, refs)
+    if refs.shape[1] > 6:
+        from nns_tpu.kernels.pallas_fused import nns_fused
+
+        return np.asarray(nns_fused(queries, refs))
     from nns_tpu.trees.kdtree import KDTree
 
     return kd_query_device(KDTree.build(refs), queries)

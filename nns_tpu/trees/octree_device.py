@@ -22,8 +22,9 @@ import numpy as np
 _CHUNK = 16
 
 
-@functools.partial(jax.jit, static_argnames=("cap",))
-def _oct_query(q, refs, children, center, radius, start, count, order, cap: int):
+@functools.partial(jax.jit, static_argnames=("cap", "max_steps"))
+def _oct_query(q, refs, children, center, radius, start, count, order,
+               cap: int, max_steps: int):
     m = q.shape[0]
     rows = jnp.arange(m)
     is_leaf = jnp.max(children, axis=1) < 0
@@ -36,12 +37,16 @@ def _oct_query(q, refs, children, center, radius, start, count, order, cap: int)
     scan_pos = jnp.zeros(m, dtype=jnp.int32)
     scan_end = jnp.zeros(m, dtype=jnp.int32)
 
+    step = jnp.int32(0)
+
+    # Step cap: guards runtime watchdogs against pathological traversals;
+    # capped-out queries are re-answered by the caller's exact brute pass.
     def cond(state):
-        _, _, sp, _, _, scan_pos, scan_end = state
-        return jnp.any((scan_pos < scan_end) | (sp > 0))
+        _, _, sp, _, _, scan_pos, scan_end, step = state
+        return jnp.any((scan_pos < scan_end) | (sp > 0)) & (step < max_steps)
 
     def body(state):
-        stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end = state
+        stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step = state
         scanning = scan_pos < scan_end
 
         # -- scan step: CHUNK leaf points per scanning query ---------------
@@ -92,16 +97,17 @@ def _oct_query(q, refs, children, center, radius, start, count, order, cap: int)
             stack_b = stack_b.at[rows, sp].set(jnp.where(push, bj, stack_b[rows, sp]))
             sp = sp + push
 
-        return stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end
+        return stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step + 1
 
-    state = (stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end)
+    state = (stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step)
     out = jax.lax.while_loop(cond, body, state)
-    return out[4]
+    incomplete = ((out[5] < out[6]) | (out[2] > 0))
+    return out[4], incomplete
 
 
-def octree_query_device(tree, queries) -> np.ndarray:
+def octree_query_device(tree, queries, max_steps: int = 50_000) -> np.ndarray:
     q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
-    idx = _oct_query(
+    idx, incomplete = _oct_query(
         q,
         jnp.asarray(tree.refs),
         jnp.asarray(tree.children),
@@ -111,8 +117,16 @@ def octree_query_device(tree, queries) -> np.ndarray:
         jnp.asarray(tree.count),
         jnp.asarray(tree.order),
         cap=tree.stack_cap(),
+        max_steps=max_steps,
     )
-    return np.asarray(idx)
+    idx = np.array(idx)
+    incomplete = np.asarray(incomplete)
+    if incomplete.any():
+        from nns_tpu.kernels.pallas_fused import nns_fused
+
+        bad = np.flatnonzero(incomplete)
+        idx[bad] = np.asarray(nns_fused(np.asarray(queries, dtype=np.float32)[bad], tree.refs))
+    return idx
 
 
 def nns_octree_device(queries, refs, max_depth: int = 9) -> np.ndarray:

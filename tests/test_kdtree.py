@@ -84,3 +84,15 @@ def test_kdtree_tiny():
     q = np.array([[0.1, 0.9, 0.3]], dtype=np.float32)
     assert nns_kdtree_host(q, r)[0] == 0
     assert nns_kdtree_device(q, r)[0] == 0
+
+
+def test_kdtree_device_step_cap_fallback_exact():
+    # A tiny step cap forces the incomplete path; results must stay exact
+    # via the brute-force fallback.
+    from nns_tpu.trees.kdtree import KDTree
+    from nns_tpu.trees.kdtree_device import kd_query_device
+
+    q, r = make_dataset(3, 32, 2048, seed=11)
+    tree = KDTree.build(r)
+    idx = kd_query_device(tree, q, max_steps=3)
+    assert_exact(idx, q, r)

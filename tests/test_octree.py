@@ -89,3 +89,13 @@ def test_octree_save_load(tmp_path):
     tree.save(path)
     loaded = Octree.load(path)
     np.testing.assert_array_equal(tree.query_host(q), loaded.query_host(q))
+
+
+def test_octree_device_step_cap_fallback_exact():
+    from nns_tpu.trees.octree import Octree
+    from nns_tpu.trees.octree_device import octree_query_device
+
+    q, r = make_dataset(3, 32, 2048, seed=11)
+    tree = Octree.build(r)
+    idx = octree_query_device(tree, q, max_steps=3)
+    assert_exact(idx, q, r)
