@@ -1,0 +1,127 @@
+"""Multi-chip supercell engine — the flagship's sharded form.
+
+Scaling story (BASELINE.md: "near-linear to 8 chips"): the supercell index
+is embarrassingly shardable — supercell GROUPS partition across the mesh
+axis, each chip holding the dense halo tensors for its group range and
+scanning only queries routed to its groups. Per-chip work is the
+single-chip kernel on 1/n_dev of the groups; the only communication is an
+all-gather of the per-slot winners ((G, Q_max) scalars — a few hundred KB)
+so every chip can assemble the full result. Compare the reference's v8:
+contiguous shards, host-side merge (core.cu:821-852); here both the data
+structure and the merge live on device.
+
+The host-side build and query bucketing are inherited from CellListEngine;
+only device placement and the scan dispatch differ.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nns_tpu.kernels.cell_list import CellListEngine, _cell_scan, _pow2_at_least
+from nns_tpu.kernels.layouts import PAD_SENTINEL
+from nns_tpu.kernels.pallas_fused import _interpret
+
+
+@functools.lru_cache(maxsize=32)
+def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
+                halo2: float, interpret: bool):
+    def local(packed, halo_dm_l, halo_ids_l):
+        i = jax.lax.axis_index(axis)
+        q = packed[:, :3]
+        sid = packed[:, 3].astype(jnp.int32)
+        pos = packed[:, 4].astype(jnp.int32)
+        sid_l = sid - i * g_local
+        mine = (sid_l >= 0) & (sid_l < g_local)
+        # Foreign queries scatter into a dump group (index g_local) so they
+        # can never collide with this shard's real slots.
+        sid_c = jnp.where(mine, sid_l, g_local)
+        dense = jnp.zeros((g_local + 1, q_max, 3), jnp.float32)
+        dense = dense.at[sid_c, pos].set(q)
+        dmin, dpos = _cell_scan(dense[:g_local], halo_dm_l, interpret)
+        idx_l = jnp.take_along_axis(halo_ids_l, dpos[:, :, 0], axis=1)
+        ok_l = dmin[:, :, 0] <= halo2
+        idx_l = jnp.where(ok_l, idx_l, -1)  # certificate encoded as -1
+        return jax.lax.all_gather(idx_l, axis, tiled=True)  # (G, Q_max)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None, None), P(axis, None)),
+            out_specs=P(None, None),
+            check_vma=False,
+        )
+    )
+
+
+class ShardedCellEngine(CellListEngine):
+    """Supercell engine with halo tensors sharded over a 1-D mesh axis."""
+
+    def __init__(self, refs: np.ndarray, mesh: Mesh, **kwargs):
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_dev = int(mesh.devices.size)
+        super().__init__(refs, **kwargs)
+        G = self.D ** 3
+        g_pad = -(-G // self.n_dev) * self.n_dev
+        halo_dm = np.asarray(self.halo_dm)
+        halo_ids = self.halo_ids
+        if g_pad != G:
+            # Pad with sentinel-only groups so the group axis shards evenly.
+            pad_dm = np.full((g_pad - G,) + halo_dm.shape[1:], PAD_SENTINEL, np.float32)
+            halo_dm = np.concatenate([halo_dm, pad_dm])
+            halo_ids = np.concatenate(
+                [halo_ids, np.zeros((g_pad - G, self.R_max), np.int32)]
+            )
+        self.g_pad = g_pad
+        self.g_local = g_pad // self.n_dev
+        shard = NamedSharding(mesh, P(self.axis, None, None))
+        self.halo_dm = jax.device_put(jnp.asarray(halo_dm), shard)
+        self.halo_ids_dev = jax.device_put(
+            jnp.asarray(halo_ids), NamedSharding(mesh, P(self.axis, None))
+        )
+        jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
+
+    def query_with_flags(self, queries: np.ndarray):
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        packed_np, order, q_max = self.stage(q)
+        fn = _build_scan(
+            self.mesh, self.axis, self.g_local, q_max,
+            float(self.halo) ** 2, _interpret(),
+        )
+        gathered = np.asarray(fn(jnp.asarray(packed_np), self.halo_dm, self.halo_ids_dev))
+        sid_s = packed_np[:, 3].astype(np.int64)
+        pos = packed_np[:, 4].astype(np.int64)
+        idx_s = gathered[sid_s, pos]
+        m = q.shape[0]
+        inv = np.empty(m, dtype=np.int64)
+        inv[order] = np.arange(m)
+        idx = idx_s[inv]
+        ok = idx >= 0
+        return idx.astype(np.int32), ok
+
+
+def nns_sharded_cells(queries, refs, mesh: Mesh | None = None) -> np.ndarray:
+    """One-shot sharded flagship; single device or non-3-D routes to the
+    corresponding single-chip / brute paths."""
+    from nns_tpu.parallel.mesh import make_mesh
+
+    if mesh is None:
+        mesh = make_mesh()
+    if mesh.devices.size == 1 or refs.shape[1] != 3 or refs.shape[0] < 4096:
+        from nns_tpu.kernels.cell_list import nns_cell_list
+
+        return nns_cell_list(np.asarray(queries), np.asarray(refs))
+    try:
+        eng = ShardedCellEngine(np.asarray(refs), mesh)
+    except ValueError:
+        from nns_tpu.parallel.sharded import nns_sharded
+
+        return np.asarray(nns_sharded(queries, refs, mesh=mesh))
+    return eng.query(np.asarray(queries))

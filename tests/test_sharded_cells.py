@@ -1,0 +1,51 @@
+"""Sharded supercell engine tests on the virtual 8-device mesh."""
+
+import numpy as np
+import pytest
+
+from conftest import assert_exact
+from nns_tpu.data import make_dataset
+from nns_tpu.parallel.mesh import make_mesh
+from nns_tpu.parallel.sharded_cells import ShardedCellEngine, nns_sharded_cells
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_sharded_cells_exact(n_dev):
+    q, r = make_dataset(3, 128, 16384, seed=1000)
+    eng = ShardedCellEngine(r, make_mesh(n_dev))
+    assert_exact(eng.query(q), q, r)
+
+
+def test_sharded_cells_matches_single_chip():
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 64, 8192, seed=2)
+    single = CellListEngine(r).query(q)
+    multi = ShardedCellEngine(r, make_mesh(8)).query(q)
+    np.testing.assert_array_equal(single, multi)
+
+
+def test_sharded_cells_group_padding():
+    # D^3 typically not divisible by 8 — sentinel group padding must hold.
+    q, r = make_dataset(3, 32, 8192, seed=3)
+    eng = ShardedCellEngine(r, make_mesh(8), d_per_dim=3)  # G = 27
+    assert eng.g_pad % 8 == 0
+    assert_exact(eng.query(q), q, r)
+
+
+def test_sharded_cells_certificate_fallback():
+    _, r = make_dataset(3, 1, 8192, seed=4)
+    r = r * np.float32(0.1)
+    q = np.array([[0.9, 0.9, 0.9]], dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(4))
+    idx, ok = eng.query_with_flags(q)
+    assert not ok.all()
+    assert_exact(eng.query(q), q, r)
+
+
+def test_nns_sharded_cells_wrapper():
+    q, r = make_dataset(3, 64, 8192, seed=5)
+    assert_exact(nns_sharded_cells(q, r, mesh=make_mesh(8)), q, r)
+    # non-3-D routes to brute force
+    q2, r2 = make_dataset(5, 16, 4096, seed=6)
+    assert_exact(nns_sharded_cells(q2, r2, mesh=make_mesh(8)), q2, r2)
