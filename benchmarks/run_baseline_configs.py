@@ -14,10 +14,13 @@ Every timed result is recall-verified against the f64 oracle on a subsample.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _fetch(x):
