@@ -67,7 +67,7 @@ class EngineConfig:
 
     # Pallas fused-kernel tile sizes (queries x reference points per tile).
     tile_m: int = 256
-    tile_n: int = 2048
+    tile_n: int = 4096
     # Dimensions are zero-padded to a multiple of this for VPU/MXU alignment.
     k_pad_multiple: int = 8
     # Fallback thresholds (graceful-degradation contract, SURVEY.md §5):

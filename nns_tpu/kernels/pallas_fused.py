@@ -162,7 +162,7 @@ def _fused_call_min_idx(queries, refs, tile_m: int, tile_n: int, interpret: bool
     return _fused_on_prepared(queries, r_dm, tile_m, tn, interpret)
 
 
-def nns_fused(queries, refs, tile_m: int = 256, tile_n: int = 2048):
+def nns_fused(queries, refs, tile_m: int = 256, tile_n: int = 4096):
     """v4 analog and flagship single-chip path: fused distance+argmin,
     dim-major refs, running carry in VMEM."""
     return _fused_call_min_idx(queries, refs, tile_m, tile_n, _interpret())[1]
@@ -173,7 +173,7 @@ class FusedBruteForce:
     the serving shape: the reference set is staged (padded, dim-major, on
     device) a single time; each query batch runs only the kernel."""
 
-    def __init__(self, refs, tile_m: int = 256, tile_n: int = 2048):
+    def __init__(self, refs, tile_m: int = 256, tile_n: int = 4096):
         self.n = refs.shape[0]
         self.tile_m = tile_m
         self.r_dm, self.tile_n = prepare_refs(refs, tile_n)
