@@ -172,7 +172,9 @@ def get_version(version: int | str) -> VersionSpec:
     try:
         return REGISTRY[int(version)]
     except (KeyError, ValueError):
-        raise KeyError(f"unknown version {version!r}; valid: 0..13 or names {sorted(_BY_NAME)}")
+        raise KeyError(
+            f"unknown version {version!r}; valid: 0..{max(REGISTRY)} or names {sorted(_BY_NAME)}"
+        )
 
 
 def list_versions() -> list[VersionSpec]:
@@ -253,7 +255,12 @@ class NNEngine:
                 try:
                     self._built = CellListEngine(refs)
                 except ValueError:
-                    self._built = None  # too clustered: brute-force fallback
+                    # Too clustered for the cell index: degrade ONCE at build
+                    # time to the staged fused engine (re-attempting the O(n)
+                    # host build per query batch would be pathological).
+                    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+                    self._built = FusedBruteForce(refs)
             elif self.spec.num in (10, 11) and refs.shape[1] <= self.config.kd_max_k:
                 from nns_tpu.trees.kdtree import KDTree
 
@@ -298,13 +305,19 @@ class NNEngine:
         return self.spec(queries, self._refs, self.config)
 
     def save(self, path: str) -> None:
-        if self.spec.family != "tree" or self._built is None:
-            raise ValueError("save() supports built tree engines only")
+        if self.spec is None or self.spec.family != "tree" or self._built is None:
+            raise ValueError("save() supports built tree/index engines only")
+        if not hasattr(self._built, "save"):
+            raise ValueError(
+                f"the built {type(self._built).__name__} engine is not serializable"
+            )
         self._built.save(path)
 
     @classmethod
     def load(cls, path: str, version: int | str, config: EngineConfig | None = None) -> "NNEngine":
         eng = cls(version, config)
+        if eng.spec is None:
+            raise ValueError("load() needs an explicit version, not 'auto'")
         spec = eng.spec
         if spec.num in (10, 11):
             from nns_tpu.trees.kdtree import KDTree
@@ -314,7 +327,11 @@ class NNEngine:
             from nns_tpu.trees.octree import Octree
 
             eng._built = Octree.load(path)
+        elif spec.num == 14:
+            from nns_tpu.kernels.cell_list import CellListEngine
+
+            eng._built = CellListEngine.load(path)
         else:
-            raise ValueError("load() supports tree versions only")
+            raise ValueError("load() supports tree/index versions (10-14) only")
         eng._refs = eng._built.refs
         return eng

@@ -77,6 +77,10 @@ def _cell_kernel(q_ref, h_ref, min_ref, pos_ref, *, gb: int):
         for d in range(3):
             diff = q[:, d : d + 1] - h[d : d + 1, :]
             d2 = d2 + diff * diff
+        # Tie-break note: the argmin is over halo-slot order (octant-block
+        # order), so among exactly-tied neighbors any true NN may be
+        # returned — exact, but not always the lowest reference index
+        # (that stronger guarantee belongs to the brute-force family).
         local_min = jnp.min(d2, axis=1, keepdims=True)
         cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
         local_arg = jnp.min(jnp.where(d2 == local_min, cols, tr), axis=1, keepdims=True)
@@ -143,7 +147,8 @@ class CellListEngine:
     matching the octree family's domain; other k route to the fused kernel)."""
 
     def __init__(self, refs: np.ndarray, d_per_dim: int | None = None,
-                 halo: float | None = None, max_candidates: int = 200_000):
+                 halo: float | None = None, max_candidates: int = 200_000,
+                 device_place: bool = True):
         refs = np.ascontiguousarray(refs, dtype=np.float32)
         n, k = refs.shape
         if k != 3:
@@ -213,9 +218,15 @@ class CellListEngine:
         pos = np.arange(len(pt)) - starts[gid]
         halo_pts[gid, pos] = refs[pt]
         halo_ids[gid, pos] = pt.astype(np.int32)
-        self.halo_dm = jax.device_put(jnp.asarray(np.swapaxes(halo_pts, 1, 2)))
-        self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))
-        jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
+        halo_dm_np = np.swapaxes(halo_pts, 1, 2)
+        if device_place:
+            self.halo_dm = jax.device_put(jnp.asarray(halo_dm_np))
+            self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))
+            jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
+        else:
+            # Subclasses (sharded placement) stage the arrays themselves.
+            self.halo_dm = halo_dm_np
+            self.halo_ids_dev = None
         self.halo_ids = halo_ids
         self.avg_candidates = float(counts.mean())
 
@@ -226,11 +237,18 @@ class CellListEngine:
         g = np.clip(g, 0, self.D - 1)
         return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
 
+    def q_max_limit(self) -> int:
+        """Largest supported queries-per-supercell for one batch: bounds the
+        kernel's (q_max, R_max) VMEM distance tile to ~4 MB and the dense
+        query tensor in HBM. Batches exceeding it (heavily skewed query
+        distributions) must go to the brute-force path."""
+        return max(32, _pow2_at_least((4 << 20) // (4 * self.R_max)) )
+
     def stage(self, queries: np.ndarray):
         """Host-side bucketing: sort queries by supercell, compute slot
         positions, pack into one (m, 5) f32 upload array. Returns
-        (packed_np, order, q_max) — feed to ``query_staged`` (optionally
-        after a jax.device_put to pre-stage the upload)."""
+        (packed_np, order, q_max); q_max is None when the batch is too
+        skewed for the dense kernel (caller must use the brute path)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
         sid = self._group_of(q)
@@ -238,6 +256,8 @@ class CellListEngine:
         sid_s = sid[order]
         counts = np.bincount(sid_s, minlength=self.D ** 3)
         q_max = _pow2_at_least(max(int(counts.max()), 8))
+        if q_max > self.q_max_limit():
+            return None, order, None
         pos = np.arange(m) - np.concatenate([[0], np.cumsum(counts)])[sid_s]
         packed = np.empty((m, 5), dtype=np.float32)
         packed[:, :3] = q[order]
@@ -259,10 +279,16 @@ class CellListEngine:
         token for ``query_collect``; several tokens may be in flight, so a
         serving loop pipelines host prep with device compute."""
         packed_np, order, q_max = self.stage(queries)
+        if packed_np is None:
+            # Batch too skewed for the dense kernel: mark every query as
+            # uncertified; collect()'s caller routes them to the exact scan.
+            return (None, order, len(order))
         return (self.query_staged(packed_np, q_max), order, packed_np.shape[0])
 
     def query_collect(self, token):
         packed, order, m = token
+        if packed is None:
+            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
         packed = np.asarray(packed)  # the single round-trip
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)

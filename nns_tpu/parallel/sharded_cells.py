@@ -67,10 +67,10 @@ class ShardedCellEngine(CellListEngine):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
         self.n_dev = int(mesh.devices.size)
-        super().__init__(refs, **kwargs)
+        super().__init__(refs, device_place=False, **kwargs)
         G = self.D ** 3
         g_pad = -(-G // self.n_dev) * self.n_dev
-        halo_dm = np.asarray(self.halo_dm)
+        halo_dm = self.halo_dm  # numpy (device_place=False)
         halo_ids = self.halo_ids
         if g_pad != G:
             # Pad with sentinel-only groups so the group axis shards evenly.
@@ -88,9 +88,27 @@ class ShardedCellEngine(CellListEngine):
         )
         jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
 
+    # The single-chip submit/staged/save surfaces assume unsharded,
+    # unpadded device state; on the sharded engine use query/query_with_flags.
+    def query_staged(self, packed, q_max):  # pragma: no cover - guard
+        raise NotImplementedError("sharded engine: use query()/query_with_flags()")
+
+    def query_submit(self, queries):  # pragma: no cover - guard
+        raise NotImplementedError("sharded engine: use query()/query_with_flags()")
+
+    def save(self, path):  # pragma: no cover - guard
+        raise NotImplementedError(
+            "sharded engine state is placement-specific; build from refs "
+            "(or save a single-chip CellListEngine)"
+        )
+
     def query_with_flags(self, queries: np.ndarray):
         q = np.ascontiguousarray(queries, dtype=np.float32)
         packed_np, order, q_max = self.stage(q)
+        if packed_np is None:
+            # Too-skewed batch: nothing certified; caller's fallback rescans.
+            m = q.shape[0]
+            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
         fn = _build_scan(
             self.mesh, self.axis, self.g_local, q_max,
             float(self.halo) ** 2, _interpret(),

@@ -60,3 +60,35 @@ def test_engine_save_load(tmp_path):
 def test_engine_query_before_build_raises():
     with pytest.raises(RuntimeError):
         NNEngine(4).query(np.zeros((1, 3), np.float32))
+
+
+def test_engine_cells_save_load(tmp_path):
+    q, r = make_dataset(3, 16, 8192, seed=12)
+    eng = NNEngine(14).build(r)
+    path = str(tmp_path / "cells_engine.npz")
+    eng.save(path)
+    loaded = NNEngine.load(path, version=14)
+    np.testing.assert_array_equal(eng.query(q), loaded.query(q))
+
+
+def test_engine_load_auto_rejected(tmp_path):
+    with pytest.raises(ValueError):
+        NNEngine.load(str(tmp_path / "x.npz"), version="auto")
+
+
+def test_engine_cells_overflow_downgrades_once(monkeypatch):
+    # Halo-overflow at build (huge clustered sets) must degrade ONCE to a
+    # staged fused engine, not re-attempt the O(n) cell build per query.
+    import nns_tpu.kernels.cell_list as cl
+
+    def boom(*a, **k):
+        raise ValueError("supercell halo overflow (simulated)")
+
+    monkeypatch.setattr(cl, "CellListEngine", boom)
+    rng = np.random.default_rng(13)
+    q, r = make_dataset(3, 16, 8192, seed=13)
+    eng = NNEngine(14).build(r)
+    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+    assert isinstance(eng._built, FusedBruteForce)
+    assert_exact(eng.query(q), q, r)

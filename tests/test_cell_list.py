@@ -87,3 +87,19 @@ def test_cell_list_oversized_halo_clamped_stays_exact():
     eng = CellListEngine(r, d_per_dim=12, halo=0.5)
     assert eng.halo <= eng.W.min() + 1e-12
     assert_exact(eng.query(q), q, r)
+
+
+def test_cell_list_skewed_batch_guard():
+    # All queries in one supercell: q_max would exceed the VMEM budget;
+    # stage() must refuse and query() must fall back exactly.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(10)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+    m = eng.q_max_limit() * 2
+    q = (np.float32(0.5) + rng.random((m, 3), dtype=np.float32) * np.float32(1e-4))
+    packed, order, q_max = eng.stage(q)
+    assert packed is None and q_max is None
+    idx = eng.query(q)
+    assert_exact(idx[:64], q[:64], r)  # subsample keeps the oracle cheap
