@@ -69,6 +69,7 @@ def main() -> int:
         if i:
             qb = qb + np.float32(i) * np.float32(1e-7)
         packed, order, q_max = engine.stage(qb)
+        assert packed is not None, "benchmark batch unexpectedly exceeded q_max_limit"
         staged.append((jax.device_put(packed), order, q_max))
     jax.block_until_ready([s[0] for s in staged])
 

@@ -89,13 +89,15 @@ def _cell_kernel(q_ref, h_ref, min_ref, pos_ref, *, gb: int):
         min_ref[g] = jnp.where(better, local_min, min_ref[g])
 
 
-def _cell_scan(dense_q, halo_dm, interpret: bool):
+def _cell_scan(dense_q, halo_dm, interpret: bool, group_batch: int | None = None):
     """dense_q: (G, QM, 3); halo_dm: (G, 3, R_max). Returns per-slot
     (min_d (G, QM, 1), argpos (G, QM, 1))."""
     g_total, qm, _ = dense_q.shape
     r_max = halo_dm.shape[2]
     tr = min(_TR, r_max)
-    gb = _GB if g_total % _GB == 0 else 1
+    gb = group_batch or _GB
+    if g_total % gb:
+        gb = 1
     return pl.pallas_call(
         functools.partial(_cell_kernel, gb=gb),
         grid=(g_total // gb, r_max // tr),
@@ -115,9 +117,10 @@ def _cell_scan(dense_q, halo_dm, interpret: bool):
     )(dense_q, halo_dm)
 
 
-@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret"))
+@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
 def _device_query(packed_in, halo_dm, halo_ids, halo2,
-                  q_max: int, g_total: int, interpret: bool):
+                  q_max: int, g_total: int, interpret: bool,
+                  group_batch: int | None = None):
     """Fused device path: ONE packed upload (m, 5) f32 [qx, qy, qz, sid, pos]
     -> scatter into the dense per-supercell tensor, scan kernel, unscatter,
     global-id lookup -> ONE packed (2, m) i32 result. A single host
@@ -127,7 +130,7 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     sid_s = packed_in[:, 3].astype(jnp.int32)   # exact for values < 2^24
     pos = packed_in[:, 4].astype(jnp.int32)
     dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
-    dmin, dpos = _cell_scan(dense_q, halo_dm, interpret)
+    dmin, dpos = _cell_scan(dense_q, halo_dm, interpret, group_batch)
     d2 = dmin[sid_s, pos, 0]
     rpos = dpos[sid_s, pos, 0]
     idx = halo_ids[sid_s, rpos]
@@ -265,13 +268,13 @@ class CellListEngine:
         packed[:, 4] = pos
         return packed, order, q_max
 
-    def query_staged(self, packed, q_max: int):
+    def query_staged(self, packed, q_max: int, group_batch: int | None = None):
         """Device half: one dispatch over a staged (m, 5) upload array
         (numpy or device-resident). Returns the packed (2, m) device array."""
         return _device_query(
             jnp.asarray(packed), self.halo_dm, self.halo_ids_dev,
             jnp.float32(self.halo) ** 2,
-            q_max, self.D ** 3, _interpret(),
+            q_max, self.D ** 3, _interpret(), group_batch,
         )
 
     def query_submit(self, queries: np.ndarray):
