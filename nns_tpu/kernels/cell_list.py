@@ -94,7 +94,12 @@ def _cell_scan(dense_q, halo_dm, interpret: bool, group_batch: int | None = None
     (min_d (G, QM, 1), argpos (G, QM, 1))."""
     g_total, qm, _ = dense_q.shape
     r_max = halo_dm.shape[2]
+    # Bound the (QM, TR) distance tile to ~1M f32 elements of VMEM: shrink
+    # the halo tile when the query block is tall (R_max and qm are powers of
+    # two, so tr always divides r_max).
     tr = min(_TR, r_max)
+    while qm * tr > (1 << 20) and tr > 512:
+        tr //= 2
     gb = group_batch or _GB
     if g_total % gb:
         gb = 1
@@ -241,11 +246,12 @@ class CellListEngine:
         return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
 
     def q_max_limit(self) -> int:
-        """Largest supported queries-per-supercell for one batch: bounds the
-        kernel's (q_max, R_max) VMEM distance tile to ~4 MB and the dense
-        query tensor in HBM. Batches exceeding it (heavily skewed query
-        distributions) must go to the brute-force path."""
-        return max(32, _pow2_at_least((4 << 20) // (4 * self.R_max)) )
+        """Largest supported queries-per-supercell for one batch. The scan
+        kernel shrinks its halo tile down to 512 points as the query block
+        grows, so the ceiling is the 1M-element VMEM tile at the minimum
+        tile: batches beyond it (heavily skewed query distributions) must
+        go to the brute-force path."""
+        return (1 << 20) // 512  # 2048
 
     def stage(self, queries: np.ndarray):
         """Host-side bucketing: sort queries by supercell, compute slot
@@ -306,10 +312,10 @@ class CellListEngine:
         idx, ok = self.query_with_flags(queries)
         idx = np.array(idx)
         if not ok.all():
-            from nns_tpu.kernels.pallas_fused import nns_fused
+            from nns_tpu.kernels.pallas_fused import fused_fallback
 
             bad = np.flatnonzero(~ok)
-            idx[bad] = np.asarray(nns_fused(
+            idx[bad] = np.asarray(fused_fallback(
                 np.ascontiguousarray(queries, dtype=np.float32)[bad], self.refs
             ))
         return idx.astype(np.int32)
@@ -345,6 +351,83 @@ class CellListEngine:
             return eng
 
 
+class CellCascade:
+    """Multi-resolution stack of supercell engines.
+
+    A single halo radius certifies only queries whose NN lies within it —
+    great for matched query/ref densities, poor when queries sit in sparse
+    regions (e.g. uniform queries over clustered refs: ~18% coverage
+    measured). The cascade re-asks failed queries at progressively coarser
+    grids with wider halos (each level exact by its own certificate), and
+    only the final survivors pay the exact full scan. Uniform workloads
+    terminate at level 0 with zero extra query cost."""
+
+    def __init__(self, refs: np.ndarray, levels: int = 3):
+        refs = np.ascontiguousarray(refs, dtype=np.float32)
+        self.refs = refs
+        n = refs.shape[0]
+        self.max_levels = max(1, levels)
+        self._exhausted = False
+        self.engines: list[CellListEngine] = [CellListEngine(refs)]
+
+    def _maybe_build_next_level(self) -> bool:
+        """Lazily add one coarser level (built only when a query batch
+        actually needs it). A level whose worst-case candidate set
+        approaches brute-force cost (R_max > n/8 — coarse grids have no
+        selectivity on heavily clustered data) is rejected and the cascade
+        marked exhausted: further misses go straight to the exact scan."""
+        if self._exhausted or len(self.engines) >= self.max_levels:
+            return False
+        prev = self.engines[-1]
+        d = max(2, prev.D // 3)
+        if d == prev.D:
+            self._exhausted = True
+            return False
+        try:
+            eng = CellListEngine(self.refs, d_per_dim=d, halo=float(prev.halo) * 4.0)
+        except ValueError:
+            self._exhausted = True
+            return False
+        if eng.R_max > max(self.refs.shape[0] // 8, 4096):
+            self._exhausted = True
+            return False
+        self.engines.append(eng)
+        return True
+
+    def query_with_flags(self, queries: np.ndarray):
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        m = q.shape[0]
+        idx = np.zeros(m, dtype=np.int32)
+        remaining = np.arange(m)
+        level = 0
+        while remaining.size:
+            if level >= len(self.engines) and not self._maybe_build_next_level():
+                break
+            i_lvl, ok_lvl = self.engines[level].query_with_flags(q[remaining])
+            hit = remaining[ok_lvl]
+            idx[hit] = i_lvl[ok_lvl]
+            remaining = remaining[~ok_lvl]
+            # A level that certifies under half of what it was asked isn't
+            # pulling its weight on this distribution — the exact scan is
+            # cheaper than descending further.
+            if ok_lvl.size and ok_lvl.mean() < 0.5:
+                break
+            level += 1
+        ok = np.ones(m, dtype=bool)
+        ok[remaining] = False
+        return idx, ok
+
+    def query(self, queries: np.ndarray) -> np.ndarray:
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        idx, ok = self.query_with_flags(q)
+        if not ok.all():
+            from nns_tpu.kernels.pallas_fused import fused_fallback
+
+            bad = np.flatnonzero(~ok)
+            idx[bad] = np.asarray(fused_fallback(q[bad], self.refs))
+        return idx.astype(np.int32)
+
+
 def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
     """One-shot wrapper; non-3-D or tiny reference sets route to the fused
     kernel (capability-dispatch contract, SURVEY.md §5)."""
@@ -353,7 +436,10 @@ def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
 
         return np.asarray(nns_fused(queries, refs))
     try:
-        eng = CellListEngine(np.asarray(refs), d_per_dim=d_per_dim)
+        if d_per_dim is not None:
+            eng = CellListEngine(np.asarray(refs), d_per_dim=d_per_dim)
+        else:
+            eng = CellCascade(np.asarray(refs))
     except ValueError:
         from nns_tpu.kernels.pallas_fused import nns_fused
 

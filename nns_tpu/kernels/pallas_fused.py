@@ -168,6 +168,27 @@ def nns_fused(queries, refs, tile_m: int = 256, tile_n: int = 4096):
     return _fused_call_min_idx(queries, refs, tile_m, tile_n, _interpret())[1]
 
 
+def fused_fallback(queries, refs) -> "jnp.ndarray":
+    """Exact full-scan fallback for certificate/traversal failures: pads the
+    query count to a power-of-two bucket so repeated fallbacks with varying
+    batch sizes reuse compiled kernels instead of recompiling per shape.
+    Refs are explicitly device_put first — feeding a large numpy array
+    through the jit argument path costs ~10x a plain transfer on tunneled
+    runtimes (measured ~1 s vs ~90 ms for a 12 MB reference set)."""
+    import numpy as np
+
+    q = np.asarray(queries, dtype=np.float32)
+    m = q.shape[0]
+    bucket = 8
+    while bucket < m:
+        bucket *= 2
+    if bucket != m:
+        q = np.pad(q, ((0, bucket - m), (0, 0)))
+    if isinstance(refs, np.ndarray):
+        refs = jax.device_put(jnp.asarray(refs))
+    return nns_fused(q, refs)[:m]
+
+
 class FusedBruteForce:
     """Prepare-once / query-many engine over the flagship fused kernel —
     the serving shape: the reference set is staged (padded, dim-major, on

@@ -106,10 +106,10 @@ def kd_query_device(tree, queries, max_steps: int | None = None) -> np.ndarray:
     idx = np.array(idx)
     incomplete = np.asarray(incomplete)
     if incomplete.any():
-        from nns_tpu.kernels.pallas_fused import nns_fused
+        from nns_tpu.kernels.pallas_fused import fused_fallback
 
         bad = np.flatnonzero(incomplete)
-        idx[bad] = np.asarray(nns_fused(np.asarray(queries, dtype=np.float32)[bad], tree.refs))
+        idx[bad] = np.asarray(fused_fallback(np.asarray(queries, dtype=np.float32)[bad], tree.refs))
     return idx
 
 

@@ -103,3 +103,40 @@ def test_cell_list_skewed_batch_guard():
     assert packed is None and q_max is None
     idx = eng.query(q)
     assert_exact(idx[:64], q[:64], r)  # subsample keeps the oracle cheap
+
+
+def test_cascade_uniform_level0_coverage():
+    from nns_tpu.kernels.cell_list import CellCascade
+
+    q, r = make_dataset(3, 128, 16384, seed=14)
+    cas = CellCascade(r)
+    assert len(cas.engines) == 1  # levels are lazy; uniform never needs more
+    idx, ok = cas.query_with_flags(q)
+    assert ok.mean() > 0.95  # uniform data certifies at level 0
+    assert_exact(cas.query(q), q, r)
+
+
+def test_cascade_lazy_level_build():
+    # Queries straddling a moderate density mismatch: level 0 misses some
+    # but certifies enough (>= 50%) that a coarser level gets built lazily.
+    from nns_tpu.kernels.cell_list import CellCascade
+
+    rng = np.random.default_rng(15)
+    r = rng.random((16384, 3), dtype=np.float32)
+    q = np.concatenate(
+        [rng.random((96, 3), dtype=np.float32),
+         rng.random((32, 3), dtype=np.float32) * np.float32(2.0)]  # outside bbox
+    ).astype(np.float32)
+    cas = CellCascade(r)
+    idx = cas.query(q)
+    assert_exact(idx, q, r)
+
+
+def test_cascade_clustered_refs_uniform_queries_exact():
+    # Heavily clustered refs: coarse levels get pruned (no selectivity) and
+    # misses go to the exact scan — result must stay exact regardless.
+    from nns_tpu.kernels.cell_list import CellCascade
+
+    q, r = make_dataset(3, 128, 32768, seed=15, clustered=True)
+    cas = CellCascade(r)
+    assert_exact(cas.query(q), q, r)
