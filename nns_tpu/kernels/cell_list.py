@@ -150,6 +150,56 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     return jnp.stack([idx, ok.astype(jnp.int32)])  # (2, m), in sorted order
 
 
+@functools.partial(jax.jit, static_argnames=("k_nn", "q_max", "g_total", "interpret"))
+def _device_query_topk(packed_in, halo_dm, halo_ids, halo2,
+                       k_nn: int, q_max: int, g_total: int, interpret: bool):
+    """Exact k-NN over the dense halo sets (XLA path: per-group distance
+    blocks + lax.top_k, chunked over groups to bound memory). Returns one
+    packed (m, 2*k_nn + 1) f32 array: [dists, ids, certificate] — the
+    certificate holds iff the k-th distance is within halo (then no
+    unscanned point can belong to the true top-k, modulo exact ties)."""
+    del interpret  # XLA-only path
+    q_sorted = packed_in[:, :3]
+    sid_s = packed_in[:, 3].astype(jnp.int32)
+    pos = packed_in[:, 4].astype(jnp.int32)
+    m = q_sorted.shape[0]
+    r_max = halo_dm.shape[2]
+    dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
+
+    gc = 64
+    g_pad = -(-g_total // gc) * gc
+    dq = jnp.pad(dense_q, ((0, g_pad - g_total), (0, 0), (0, 0)))
+    hd = jnp.pad(halo_dm, ((0, g_pad - g_total), (0, 0), (0, 0)),
+                 constant_values=PAD_SENTINEL)
+
+    kk = min(k_nn, r_max)
+
+    def chunk(c):
+        qs = jax.lax.dynamic_slice_in_dim(dq, c * gc, gc, axis=0)   # (gc, QM, 3)
+        hs = jax.lax.dynamic_slice_in_dim(hd, c * gc, gc, axis=0)   # (gc, 3, R)
+        d2 = jnp.zeros((gc, q_max, r_max), jnp.float32)
+        for d in range(3):
+            d2 = d2 + (qs[:, :, d : d + 1] - hs[:, d : d + 1, :]) ** 2
+        nd, pi = jax.lax.top_k(-d2.reshape(gc * q_max, r_max), kk)
+        return -nd, pi  # ascending distances + halo-slot positions
+
+    kd, kp = jax.lax.map(chunk, jnp.arange(g_pad // gc))
+    kd = kd.reshape(g_pad, q_max, kk)[:g_total]
+    kp = kp.reshape(g_pad, q_max, kk)[:g_total]
+
+    qd = kd[sid_s, pos]                                   # (m, kk)
+    qpos = kp[sid_s, pos]
+    qid = jnp.take_along_axis(halo_ids[sid_s], qpos, axis=1)
+    ok = qd[:, -1] <= halo2
+    if kk < k_nn:  # fewer halo slots than requested neighbors
+        qd = jnp.pad(qd, ((0, 0), (0, k_nn - kk)), constant_values=jnp.inf)
+        qid = jnp.pad(qid, ((0, 0), (0, k_nn - kk)))
+        ok = jnp.zeros_like(ok)
+    return jnp.concatenate(
+        [qd, qid.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
+    )
+
+
 class CellListEngine:
     """Prepare-once/query-many exact NN for k <= 3-ish low dims (k == 3 here,
     matching the octree family's domain; other k route to the fused kernel)."""
@@ -319,6 +369,37 @@ class CellListEngine:
                 np.ascontiguousarray(queries, dtype=np.float32)[bad], self.refs
             ))
         return idx.astype(np.int32)
+
+    def query_topk(self, queries: np.ndarray, k_nn: int = 8):
+        """Exact k-NN through the supercell index: (dist2[m, k], idx[m, k]),
+        ascending. Queries whose k-th neighbor the certificate cannot prove
+        (k-th dist > halo, or fewer than k candidates) fall back to the
+        exact chunked top-k scan."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        m = q.shape[0]
+        packed_np, order, q_max = self.stage(q)
+        if packed_np is None:
+            from nns_tpu.kernels.topk import nns_topk
+
+            return nns_topk(q, self.refs, k_nn)
+        out = np.asarray(_device_query_topk(
+            jnp.asarray(packed_np), self.halo_dm, self.halo_ids_dev,
+            jnp.float32(self.halo) ** 2, k_nn, q_max, self.D ** 3, _interpret(),
+        ))
+        inv = np.empty(m, dtype=np.int64)
+        inv[order] = np.arange(m)
+        out = out[inv]
+        d2 = out[:, :k_nn].astype(np.float32)
+        idx = out[:, k_nn : 2 * k_nn].astype(np.int32)
+        ok = out[:, -1] > 0.5
+        if not ok.all():
+            from nns_tpu.kernels.topk import nns_topk
+
+            bad = np.flatnonzero(~ok)
+            fd, fi = nns_topk(q[bad], self.refs, k_nn)
+            d2[bad] = fd
+            idx[bad] = fi
+        return d2, idx
 
 
     # -- persistence (checkpoint subsystem, SURVEY.md §5) ------------------

@@ -140,3 +140,33 @@ def test_cascade_clustered_refs_uniform_queries_exact():
     q, r = make_dataset(3, 128, 32768, seed=15, clustered=True)
     cas = CellCascade(r)
     assert_exact(cas.query(q), q, r)
+
+
+def test_cell_list_topk_matches_oracle():
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 64, 16384, seed=16)
+    eng = CellListEngine(r)
+    d2, idx = eng.query_topk(q, 8)
+    d_oracle = np.sort(
+        np.sum((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2, axis=-1),
+        axis=1,
+    )[:, :8]
+    d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
+    np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
+    assert (np.diff(d2, axis=1) >= 0).all()
+
+
+def test_cell_list_topk_fallback_when_k_exceeds_halo():
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 16, 8192, seed=17)
+    eng = CellListEngine(r)
+    k = 64  # k-th NN far beyond the halo radius -> certificate fails
+    d2, idx = eng.query_topk(q, k)
+    d_oracle = np.sort(
+        np.sum((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2, axis=-1),
+        axis=1,
+    )[:, :k]
+    d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
+    np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
