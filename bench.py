@@ -78,7 +78,7 @@ def main() -> int:
     _ = np.asarray(engine.query_staged(staged[0][0], staged[0][2]))
 
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):  # tunnel latency is noisy; take the best trial
         t0 = time.perf_counter()
         outs = [engine.query_staged(p, qm) for (p, _, qm) in staged]
         _ = np.asarray(outs[-1])
