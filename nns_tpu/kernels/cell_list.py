@@ -42,15 +42,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nns_tpu.kernels.layouts import PAD_SENTINEL
+from nns_tpu.kernels.layouts import PAD_SENTINEL, pow2_at_least as _pow2_at_least
 from nns_tpu.kernels.pallas_fused import _interpret
-
-
-def _pow2_at_least(x: int) -> int:
-    p = 1
-    while p < x:
-        p *= 2
-    return p
 
 
 _TR = 8192  # halo points per kernel step (R_max is tiled when larger)
@@ -162,11 +155,12 @@ def _device_query_topk(packed_in, halo_dm, halo_ids, halo2,
     q_sorted = packed_in[:, :3]
     sid_s = packed_in[:, 3].astype(jnp.int32)
     pos = packed_in[:, 4].astype(jnp.int32)
-    m = q_sorted.shape[0]
     r_max = halo_dm.shape[2]
     dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
 
-    gc = 64
+    # Bound the per-chunk distance block (gc, q_max, r_max) to ~16M f32
+    # (the 1-NN scan kernel bounds its tile the same way).
+    gc = max(1, min(64, (16 << 20) // max(q_max * r_max, 1)))
     g_pad = -(-g_total // gc) * gc
     dq = jnp.pad(dense_q, ((0, g_pad - g_total), (0, 0), (0, 0)))
     hd = jnp.pad(halo_dm, ((0, g_pad - g_total), (0, 0), (0, 0)),
@@ -189,14 +183,17 @@ def _device_query_topk(packed_in, halo_dm, halo_ids, halo2,
 
     qd = kd[sid_s, pos]                                   # (m, kk)
     qpos = kp[sid_s, pos]
-    qid = jnp.take_along_axis(halo_ids[sid_s], qpos, axis=1)
+    qid = halo_ids[sid_s[:, None], qpos]                  # (m, kk) gather
     ok = qd[:, -1] <= halo2
     if kk < k_nn:  # fewer halo slots than requested neighbors
         qd = jnp.pad(qd, ((0, 0), (0, k_nn - kk)), constant_values=jnp.inf)
         qid = jnp.pad(qid, ((0, 0), (0, k_nn - kk)))
         ok = jnp.zeros_like(ok)
+    # Ids travel bitcast inside the f32 container (an astype would corrupt
+    # ids >= 2^24); the host views the bits back as int32.
+    qid_bits = jax.lax.bitcast_convert_type(qid, jnp.float32)
     return jnp.concatenate(
-        [qd, qid.astype(jnp.float32), ok[:, None].astype(jnp.float32)], axis=1
+        [qd, qid_bits, ok[:, None].astype(jnp.float32)], axis=1
     )
 
 
@@ -377,6 +374,7 @@ class CellListEngine:
         exact chunked top-k scan."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
+        k_nn = min(k_nn, self.n)  # nns_topk clamps the same way
         packed_np, order, q_max = self.stage(q)
         if packed_np is None:
             from nns_tpu.kernels.topk import nns_topk
@@ -390,7 +388,7 @@ class CellListEngine:
         inv[order] = np.arange(m)
         out = out[inv]
         d2 = out[:, :k_nn].astype(np.float32)
-        idx = out[:, k_nn : 2 * k_nn].astype(np.int32)
+        idx = out[:, k_nn : 2 * k_nn].copy().view(np.int32)  # bitcast back
         ok = out[:, -1] > 0.5
         if not ok.all():
             from nns_tpu.kernels.topk import nns_topk
@@ -446,7 +444,6 @@ class CellCascade:
     def __init__(self, refs: np.ndarray, levels: int = 3):
         refs = np.ascontiguousarray(refs, dtype=np.float32)
         self.refs = refs
-        n = refs.shape[0]
         self.max_levels = max(1, levels)
         self._exhausted = False
         self.engines: list[CellListEngine] = [CellListEngine(refs)]
@@ -517,10 +514,12 @@ def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
 
         return np.asarray(nns_fused(queries, refs))
     try:
-        if d_per_dim is not None:
-            eng = CellListEngine(np.asarray(refs), d_per_dim=d_per_dim)
-        else:
-            eng = CellCascade(np.asarray(refs))
+        # One-shot semantics: a single CellListEngine level — residual
+        # misses go to one exact scan, which is far cheaper than lazily
+        # building extra cascade levels that serve only this batch.
+        # (Prepare-once/query-many callers wanting multi-level coverage use
+        # CellCascade directly.)
+        eng = CellListEngine(np.asarray(refs), d_per_dim=d_per_dim)
     except ValueError:
         from nns_tpu.kernels.pallas_fused import nns_fused
 

@@ -26,6 +26,13 @@ def round_up(x: int, mult: int) -> int:
     return ((x + mult - 1) // mult) * mult
 
 
+def pow2_at_least(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
 def pad_dims(points: jnp.ndarray, k_mult: int) -> jnp.ndarray:
     """Zero-pad the trailing dim axis of (p, k) to a multiple of k_mult."""
     k = points.shape[1]

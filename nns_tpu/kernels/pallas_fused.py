@@ -179,9 +179,7 @@ def fused_fallback(queries, refs) -> "jnp.ndarray":
 
     q = np.asarray(queries, dtype=np.float32)
     m = q.shape[0]
-    bucket = 8
-    while bucket < m:
-        bucket *= 2
+    bucket = layouts.pow2_at_least(max(m, 8))
     if bucket != m:
         q = np.pad(q, ((0, bucket - m), (0, 0)))
     if isinstance(refs, np.ndarray):
