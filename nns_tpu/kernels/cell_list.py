@@ -189,11 +189,14 @@ def _device_query_topk(packed_in, halo_dm, halo_ids, halo2,
         qd = jnp.pad(qd, ((0, 0), (0, k_nn - kk)), constant_values=jnp.inf)
         qid = jnp.pad(qid, ((0, 0), (0, k_nn - kk)))
         ok = jnp.zeros_like(ok)
-    # Ids travel bitcast inside the f32 container (an astype would corrupt
-    # ids >= 2^24); the host views the bits back as int32.
-    qid_bits = jax.lax.bitcast_convert_type(qid, jnp.float32)
+    # Ids travel as two exactly-representable float columns (hi/lo 12-bit
+    # split, each < 2^23). A plain astype corrupts ids >= 2^24, and a
+    # bitcast makes small ids DENORMAL floats, which the TPU flushes to
+    # zero in transit — both fail silently.
+    qid_hi = (qid >> 12).astype(jnp.float32)
+    qid_lo = (qid & 0xFFF).astype(jnp.float32)
     return jnp.concatenate(
-        [qd, qid_bits, ok[:, None].astype(jnp.float32)], axis=1
+        [qd, qid_hi, qid_lo, ok[:, None].astype(jnp.float32)], axis=1
     )
 
 
@@ -388,7 +391,9 @@ class CellListEngine:
         inv[order] = np.arange(m)
         out = out[inv]
         d2 = out[:, :k_nn].astype(np.float32)
-        idx = out[:, k_nn : 2 * k_nn].copy().view(np.int32)  # bitcast back
+        hi = out[:, k_nn : 2 * k_nn].astype(np.int64)
+        lo = out[:, 2 * k_nn : 3 * k_nn].astype(np.int64)
+        idx = ((hi << 12) | lo).astype(np.int32)
         ok = out[:, -1] > 0.5
         if not ok.all():
             from nns_tpu.kernels.topk import nns_topk
