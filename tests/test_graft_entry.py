@@ -1,6 +1,13 @@
 """Driver-contract tests: entry() compiles single-chip; dryrun_multichip
 executes the full sharded step on the virtual mesh."""
 
+import jax as _jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    len(_jax.devices()) < 2, reason="needs a multi-device mesh (virtual CPU devices)"
+)
+
 import jax
 import numpy as np
 

@@ -2,6 +2,13 @@
 8-device CPU mesh — the reference's 4-GPU data parallelism (core.cu:700-1058)
 was untestable without 4 GPUs; ours runs anywhere (SURVEY.md §4 item 4)."""
 
+import jax as _jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    len(_jax.devices()) < 2, reason="needs a multi-device mesh (virtual CPU devices)"
+)
+
 import jax
 import numpy as np
 import pytest

@@ -1,5 +1,12 @@
 """Sharded supercell engine tests on the virtual 8-device mesh."""
 
+import jax as _jax
+import pytest as _pytest
+
+pytestmark = _pytest.mark.skipif(
+    len(_jax.devices()) < 2, reason="needs a multi-device mesh (virtual CPU devices)"
+)
+
 import numpy as np
 import pytest
 
