@@ -237,7 +237,48 @@ class CellListEngine:
         self.mn = mn.astype(np.float64)
 
         # Halo membership: point p joins group g iff p is within halo of g's
-        # box; per dim that is at most 2 consecutive supercell indices.
+        # box; per dim that is at most 2 consecutive supercell indices
+        # (guaranteed by the halo <= W/2 clamp above). Native C++ counting-
+        # sort build when available (two O(8n) passes); numpy fallback below.
+        G = self.D ** 3
+        from nns_tpu.native import native_cells_build
+
+        native = native_cells_build(
+            refs, self.D, self.halo, self.mn, self.W, max_candidates, PAD_SENTINEL
+        )
+        if native is not None:
+            halo_pts, halo_ids, counts = native
+            if halo_pts is None:
+                raise ValueError(
+                    f"supercell halo overflow (R_max={int(counts.max())}): data "
+                    "too clustered for the cell-list engine — use the fused "
+                    "kernel or octree"
+                )
+            self.R_max = halo_pts.shape[1]
+        else:
+            halo_pts, halo_ids, counts = self._build_numpy_halos(refs, max_candidates)
+        halo_dm_np = np.swapaxes(halo_pts, 1, 2)
+        if device_place:
+            self.halo_dm = jax.device_put(jnp.asarray(halo_dm_np))
+            self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))
+            jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
+        else:
+            # Subclasses (sharded placement) stage the arrays themselves.
+            self.halo_dm = halo_dm_np
+            self.halo_ids_dev = None
+        self.halo_ids = halo_ids
+        self.avg_candidates = float(counts.mean())
+
+    # -- query ------------------------------------------------------------
+
+    def _group_of(self, q: np.ndarray) -> np.ndarray:
+        g = np.floor((q.astype(np.float64) - self.mn) / self.W).astype(np.int64)
+        g = np.clip(g, 0, self.D - 1)
+        return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
+
+    def _build_numpy_halos(self, refs: np.ndarray, max_candidates: int):
+        """Vectorized numpy halo build (fallback when the native lib is
+        unavailable): enumerate memberships, stable-sort by group, fill."""
         rel = refs.astype(np.float64) - self.mn
         lo = np.clip(np.floor((rel - self.halo) / self.W).astype(np.int64), 0, self.D - 1)
         hi = np.clip(np.floor((rel + self.halo) / self.W).astype(np.int64), 0, self.D - 1)
@@ -258,7 +299,9 @@ class CellListEngine:
                     pairs_gid.append(gid[valid])
         pt = np.concatenate(pairs_pt)
         gid = np.concatenate(pairs_gid)
-        order = np.argsort(gid, kind="stable")  # within group: point ids ascend
+        # Within a group, slot order follows octant-block then id — an
+        # arbitrary but fixed order (ties return any true NN; see kernel).
+        order = np.argsort(gid, kind="stable")
         pt, gid = pt[order], gid[order]
 
         G = self.D ** 3
@@ -276,24 +319,7 @@ class CellListEngine:
         pos = np.arange(len(pt)) - starts[gid]
         halo_pts[gid, pos] = refs[pt]
         halo_ids[gid, pos] = pt.astype(np.int32)
-        halo_dm_np = np.swapaxes(halo_pts, 1, 2)
-        if device_place:
-            self.halo_dm = jax.device_put(jnp.asarray(halo_dm_np))
-            self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))
-            jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
-        else:
-            # Subclasses (sharded placement) stage the arrays themselves.
-            self.halo_dm = halo_dm_np
-            self.halo_ids_dev = None
-        self.halo_ids = halo_ids
-        self.avg_candidates = float(counts.mean())
-
-    # -- query ------------------------------------------------------------
-
-    def _group_of(self, q: np.ndarray) -> np.ndarray:
-        g = np.floor((q.astype(np.float64) - self.mn) / self.W).astype(np.int64)
-        g = np.clip(g, 0, self.D - 1)
-        return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
+        return halo_pts, halo_ids, counts
 
     def q_max_limit(self) -> int:
         """Largest supported queries-per-supercell for one batch. The scan

@@ -13,6 +13,7 @@ from nns_tpu.native.build import (  # noqa: F401
     ensure_built,
     load_library,
     native_available,
+    native_cells_build,
     native_kd_build,
     native_kd_query,
     native_linear_scan,

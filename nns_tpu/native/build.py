@@ -74,6 +74,16 @@ def load_library() -> ctypes.CDLL | None:
             ctypes.c_int, f32p, f32p, i32p, f32p, f32p, i32p, i32p, i32p, i32p,
         ]
         lib.nns_octree_query.restype = None
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.nns_cells_count.argtypes = [
+            ctypes.c_int, f32p, ctypes.c_int, ctypes.c_double, f64p, f64p, i32p,
+        ]
+        lib.nns_cells_count.restype = ctypes.c_int
+        lib.nns_cells_fill.argtypes = [
+            ctypes.c_int, f32p, ctypes.c_int, ctypes.c_double, f64p, f64p,
+            ctypes.c_int, f32p, i32p,
+        ]
+        lib.nns_cells_fill.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -155,6 +165,38 @@ def native_octree_query(tree, queries) -> np.ndarray | None:
         out,
     )
     return out
+
+
+def native_cells_build(refs: np.ndarray, d_per_dim: int, halo: float,
+                       mn: np.ndarray, w: np.ndarray, r_cap: int,
+                       sentinel: float):
+    """Two-pass supercell halo build. Returns (halo_pts (G, r_max_pow2, 3),
+    halo_ids, counts) or None when unavailable / r_cap exceeded."""
+    lib = load_library()
+    if lib is None:
+        return None
+    r = np.ascontiguousarray(refs, dtype=np.float32)
+    n = r.shape[0]
+    G = d_per_dim ** 3
+    mn = np.ascontiguousarray(mn, dtype=np.float64)
+    w = np.ascontiguousarray(w, dtype=np.float64)
+    counts = np.empty(G, dtype=np.int32)
+    lib.nns_cells_count(n, r, d_per_dim, float(halo), mn, w, counts)
+    r_max = int(counts.max()) if G else 0
+    if r_max > r_cap:
+        return None, None, counts  # overflow: caller raises like numpy path
+    size = 128
+    while size < r_max:
+        size *= 2
+    halo_pts = np.full((G, size, 3), sentinel, dtype=np.float32)
+    halo_ids = np.zeros((G, size), dtype=np.int32)
+    ok = lib.nns_cells_fill(
+        n, r, d_per_dim, float(halo), mn, w, size,
+        halo_pts.reshape(-1), halo_ids.reshape(-1),
+    )
+    if ok != 0:
+        return None
+    return halo_pts, halo_ids, counts
 
 
 def native_octree_build(refs: np.ndarray, max_depth: int):

@@ -346,4 +346,78 @@ int nns_octree_build(int k, int n, const float* refs, int32_t* children,
   return ctx.n_nodes;
 }
 
+}  // extern "C" (reopened below — templates cannot have C linkage)
+
+// ---------------------------------------------------------------------------
+// Supercell halo build (3-D): enumerate each point's halo-set memberships
+// (<= 8 supercells within `halo` of the point) and fill the dense
+// (G, R_cap, 3) halo tensors by counting sort — replaces the numpy
+// argsort-based build (O(n log n) + fancy indexing) with two O(8n) passes.
+// Within each group, slots are in ascending point-id order (outer loop);
+// the numpy fallback uses octant-block order — both are valid (same sets).
+// ---------------------------------------------------------------------------
+namespace {
+
+template <typename F>
+inline void cells_for_each_membership(int n, const float* refs, int D,
+                                      double halo, const double* mn,
+                                      const double* w, F&& fn) {
+  for (int p = 0; p < n; ++p) {
+    int64_t lo[3], hi[3];
+    for (int d = 0; d < 3; ++d) {
+      const double rel = (double)refs[3 * (size_t)p + d] - mn[d];
+      int64_t l = (int64_t)std::floor((rel - halo) / w[d]);
+      int64_t h = (int64_t)std::floor((rel + halo) / w[d]);
+      lo[d] = std::min<int64_t>(std::max<int64_t>(l, 0), D - 1);
+      hi[d] = std::min<int64_t>(std::max<int64_t>(h, 0), D - 1);
+    }
+    for (int64_t gx = lo[0];; gx = hi[0]) {
+      for (int64_t gy = lo[1];; gy = hi[1]) {
+        for (int64_t gz = lo[2];; gz = hi[2]) {
+          fn(p, (gx * D + gy) * D + gz);
+          if (gz == hi[2]) break;
+        }
+        if (gy == hi[1]) break;
+      }
+      if (gx == hi[0]) break;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+int nns_cells_count(int n, const float* refs, int D, double halo,
+                    const double* mn, const double* w, int32_t* counts) {
+  const int64_t G = (int64_t)D * D * D;
+  std::fill(counts, counts + G, 0);
+  cells_for_each_membership(n, refs, D, halo, mn, w,
+                            [&](int, int64_t gid) { counts[gid]++; });
+  return 0;
+}
+
+int nns_cells_fill(int n, const float* refs, int D, double halo,
+                   const double* mn, const double* w, int r_cap,
+                   float* halo_pts, int32_t* halo_ids) {
+  const int64_t G = (int64_t)D * D * D;
+  std::vector<int32_t> cursor(G, 0);
+  bool overflow = false;
+  cells_for_each_membership(
+      n, refs, D, halo, mn, w, [&](int p, int64_t gid) {
+        const int32_t c = cursor[gid]++;
+        if (c >= r_cap) {
+          overflow = true;
+          return;
+        }
+        float* dst = halo_pts + ((size_t)gid * r_cap + c) * 3;
+        const float* src = refs + 3 * (size_t)p;
+        dst[0] = src[0];
+        dst[1] = src[1];
+        dst[2] = src[2];
+        halo_ids[(size_t)gid * r_cap + c] = p;
+      });
+  return overflow ? -1 : 0;
+}
+
 }  // extern "C"

@@ -76,3 +76,33 @@ def test_native_vs_numpy_octree_same_leaf_partition():
             s, c = t.start[nid], t.count[nid]
             pts = t.refs[t.order[s : s + c]]
             assert (np.abs(pts - t.center[nid]) <= t.radius[nid] + 1e-5).all()
+
+
+def test_native_cells_build_same_halo_sets():
+    # Native and numpy builds may order slots within a group differently;
+    # the SETS per group must match exactly.
+    from nns_tpu.data import make_dataset
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    _, r = make_dataset(3, 1, 20000, seed=7)
+    eng = CellListEngine(r, device_place=False)  # native path (lib built)
+    hp, hi, cnt = eng._build_numpy_halos(np.ascontiguousarray(r, np.float32), 200_000)
+    native_pts = np.swapaxes(np.asarray(eng.halo_dm), 1, 2)
+    assert native_pts.shape == hp.shape
+    for g in range(0, hp.shape[0], max(1, hp.shape[0] // 64)):
+        n_real = int(cnt[g])
+        ids_numpy = sorted(hi[g, :n_real].tolist())
+        ids_native = sorted(eng.halo_ids[g, :n_real].tolist())
+        assert ids_numpy == ids_native, f"group {g}"
+
+
+def test_native_cells_build_query_exact():
+    from conftest import assert_exact
+    from nns_tpu.data import make_dataset
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 64, 16384, seed=8)
+    eng = CellListEngine(r)
+    assert_exact(eng.query(q), q, r)
+    d2, idx = eng.query_topk(q, 8)
+    assert_exact(idx[:, 0], q, r)
