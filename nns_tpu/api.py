@@ -232,6 +232,7 @@ class NNEngine:
         self.spec = None if self._auto else get_version(version)
         self._built: Any = None
         self._refs: np.ndarray | None = None
+        self._low_cov_streak = 0
 
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
@@ -293,6 +294,27 @@ class NNEngine:
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:
+                from nns_tpu.kernels.cell_list import CellListEngine
+
+                if isinstance(self._built, CellListEngine):
+                    idx, ok = self._built.query_with_flags(queries)
+                    cov = float(np.asarray(ok).mean()) if len(ok) else 1.0
+                    if not ok.all():
+                        from nns_tpu.kernels.pallas_fused import fused_fallback
+
+                        idx = np.array(idx)
+                        bad = np.flatnonzero(~np.asarray(ok))
+                        idx[bad] = np.asarray(fused_fallback(queries[bad], self._refs))
+                    # Workload adaptation: when the certificate keeps failing
+                    # (query distribution mismatches the index density), the
+                    # cells pass is pure overhead on top of the exact scan —
+                    # demote to the staged fused engine permanently.
+                    self._low_cov_streak = self._low_cov_streak + 1 if cov < 0.3 else 0
+                    if self._low_cov_streak >= 2:
+                        from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+                        self._built = FusedBruteForce(self._refs)
+                    return _as_idx(idx)
                 return _as_idx(self._built.query(queries))
             if self.spec.num == 10:
                 return _as_idx(self._built.query_host(queries))

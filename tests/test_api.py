@@ -81,14 +81,31 @@ def test_engine_cells_overflow_downgrades_once(monkeypatch):
     # staged fused engine, not re-attempt the O(n) cell build per query.
     import nns_tpu.kernels.cell_list as cl
 
-    def boom(*a, **k):
-        raise ValueError("supercell halo overflow (simulated)")
+    class Boom:
+        def __init__(self, *a, **k):
+            raise ValueError("supercell halo overflow (simulated)")
 
-    monkeypatch.setattr(cl, "CellListEngine", boom)
+    monkeypatch.setattr(cl, "CellListEngine", Boom)
     rng = np.random.default_rng(13)
     q, r = make_dataset(3, 16, 8192, seed=13)
     eng = NNEngine(14).build(r)
     from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
+    assert isinstance(eng._built, FusedBruteForce)
+    assert_exact(eng.query(q), q, r)
+
+
+def test_engine_cells_demotes_on_poor_coverage():
+    # Query distribution mismatching the index density: after two low-
+    # coverage batches the engine swaps to the staged fused path, staying
+    # exact throughout.
+    rng = np.random.default_rng(20)
+    r = (rng.random((65536, 3), dtype=np.float32) * np.float32(0.2)).astype(np.float32)
+    eng = NNEngine(14).build(r)
+    q = (np.float32(0.5) + rng.random((64, 3), dtype=np.float32) * np.float32(0.4)).astype(np.float32)
+    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+    for _ in range(3):
+        assert_exact(eng.query(q), q, r)
     assert isinstance(eng._built, FusedBruteForce)
     assert_exact(eng.query(q), q, r)
