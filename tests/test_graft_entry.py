@@ -16,10 +16,10 @@ import __graft_entry__
 
 def test_entry_jits_and_runs():
     fn, args = __graft_entry__.entry()
-    out = jax.jit(fn)(*args)
-    min_d, idx = out
-    assert idx.shape == (256,)
-    assert np.asarray(min_d).min() >= 0
+    out = np.asarray(jax.jit(fn)(*args))  # packed (2, m): [idx, certificate]
+    assert out.shape == (2, 256)
+    assert out[0].min() >= 0  # valid reference indices
+    assert set(np.unique(out[1])) <= {0, 1}  # certificate flags
 
 
 def test_dryrun_multichip_8():
