@@ -326,6 +326,21 @@ class NNEngine:
                 return _as_idx(self._built.query_device(queries))
         return self.spec(queries, self._refs, self.config)
 
+    def query_topk(self, queries, k_nn: int = 8):
+        """Exact k-NN: (dist2[m, k], idx[m, k]) ascending. Uses the built
+        supercell index when available (certificate-gated), else the exact
+        chunked top-k scan."""
+        if self._refs is None:
+            raise RuntimeError("call build(refs) first")
+        queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        from nns_tpu.kernels.cell_list import CellListEngine
+
+        if isinstance(self._built, CellListEngine):
+            return self._built.query_topk(queries, k_nn)
+        from nns_tpu.kernels.topk import nns_topk
+
+        return nns_topk(queries, self._refs, k_nn)
+
     def save(self, path: str) -> None:
         if self.spec is None or self.spec.family != "tree" or self._built is None:
             raise ValueError("save() supports built tree/index engines only")

@@ -336,6 +336,15 @@ class CellListEngine:
         skewed for the dense kernel (caller must use the brute path)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
+        from nns_tpu.native import native_cells_stage
+
+        native = native_cells_stage(q, self.D, self.mn, self.W)
+        if native is not None:
+            packed, order, raw_max = native
+            q_max = _pow2_at_least(max(raw_max, 8))
+            if q_max > self.q_max_limit():
+                return None, order, None
+            return packed, order, q_max
         sid = self._group_of(q)
         order = np.argsort(sid, kind="stable")
         sid_s = sid[order]

@@ -14,6 +14,7 @@ from nns_tpu.native.build import (  # noqa: F401
     load_library,
     native_available,
     native_cells_build,
+    native_cells_stage,
     native_kd_build,
     native_kd_query,
     native_linear_scan,

@@ -84,6 +84,10 @@ def load_library() -> ctypes.CDLL | None:
             ctypes.c_int, f32p, i32p,
         ]
         lib.nns_cells_fill.restype = ctypes.c_int
+        lib.nns_cells_stage.argtypes = [
+            ctypes.c_int, f32p, ctypes.c_int, f64p, f64p, f32p, i32p,
+        ]
+        lib.nns_cells_stage.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -197,6 +201,26 @@ def native_cells_build(refs: np.ndarray, d_per_dim: int, halo: float,
     if ok != 0:
         return None
     return halo_pts, halo_ids, counts
+
+
+def native_cells_stage(queries: np.ndarray, d_per_dim: int,
+                       mn: np.ndarray, w: np.ndarray):
+    """Counting-sort query staging. Returns (packed (m,5) f32, order, q_max)
+    or None when the lib is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(queries, dtype=np.float32)
+    m = q.shape[0]
+    packed = np.empty((m, 5), dtype=np.float32)
+    order = np.empty(m, dtype=np.int32)
+    q_max = lib.nns_cells_stage(
+        m, q, d_per_dim,
+        np.ascontiguousarray(mn, dtype=np.float64),
+        np.ascontiguousarray(w, dtype=np.float64),
+        packed.reshape(-1), order,
+    )
+    return packed, order.astype(np.int64), int(q_max)
 
 
 def native_octree_build(refs: np.ndarray, max_depth: int):

@@ -397,6 +397,45 @@ int nns_cells_count(int n, const float* refs, int D, double halo,
   return 0;
 }
 
+// Query staging: bucket queries by supercell with a stable counting sort.
+// Writes packed (m, 5) f32 [qx, qy, qz, sid, slot] in group-sorted order
+// plus the permutation (original index per output row). Returns the
+// maximum per-group count (q_max before pow2 rounding).
+int nns_cells_stage(int m, const float* queries, int D, const double* mn,
+                    const double* w, float* packed, int32_t* order) {
+  const int64_t G = (int64_t)D * D * D;
+  std::vector<int32_t> sid(m);
+  std::vector<int32_t> counts(G, 0);
+  for (int i = 0; i < m; ++i) {
+    int64_t g = 0;
+    for (int d = 0; d < 3; ++d) {
+      int64_t c = (int64_t)std::floor(((double)queries[3 * (size_t)i + d] - mn[d]) / w[d]);
+      c = std::min<int64_t>(std::max<int64_t>(c, 0), D - 1);
+      g = g * D + c;
+    }
+    sid[i] = (int32_t)g;
+    counts[g]++;
+  }
+  int32_t q_max = 0;
+  for (int64_t g = 0; g < G; ++g) q_max = std::max(q_max, counts[g]);
+  std::vector<int64_t> start(G + 1, 0);
+  for (int64_t g = 0; g < G; ++g) start[g + 1] = start[g] + counts[g];
+  std::vector<int64_t> cursor(start.begin(), start.end() - 1);
+  for (int i = 0; i < m; ++i) {  // stable: ascending original index
+    const int32_t g = sid[i];
+    const int64_t row = cursor[g]++;
+    float* dst = packed + 5 * row;
+    const float* src = queries + 3 * (size_t)i;
+    dst[0] = src[0];
+    dst[1] = src[1];
+    dst[2] = src[2];
+    dst[3] = (float)g;
+    dst[4] = (float)(row - start[g]);
+    order[row] = i;
+  }
+  return q_max;
+}
+
 int nns_cells_fill(int n, const float* refs, int D, double halo,
                    const double* mn, const double* w, int r_cap,
                    float* halo_pts, int32_t* halo_ids) {

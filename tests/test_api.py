@@ -109,3 +109,17 @@ def test_engine_cells_demotes_on_poor_coverage():
         assert_exact(eng.query(q), q, r)
     assert isinstance(eng._built, FusedBruteForce)
     assert_exact(eng.query(q), q, r)
+
+
+def test_engine_query_topk():
+    q, r = make_dataset(3, 32, 8192, seed=21)
+    for version in (14, 4):
+        eng = NNEngine(version).build(r)
+        d2, idx = eng.query_topk(q, 4)
+        assert idx.shape == (32, 4)
+        d_oracle = np.sort(
+            np.sum((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2, axis=-1),
+            axis=1,
+        )[:, :4]
+        d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
+        np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
