@@ -232,11 +232,14 @@ class NNEngine:
         self.spec = None if self._auto else get_version(version)
         self._built: Any = None
         self._refs: np.ndarray | None = None
-        self._low_cov_streak = 0
+        self._cov_miss = 0
+        self._cov_seen = 0
 
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
         self._refs = refs
+        self._cov_miss = 0  # fresh index: forget prior coverage history
+        self._cov_seen = 0
         if self._auto:
             import jax
 
@@ -290,6 +293,11 @@ class NNEngine:
         if self._refs is None:
             raise RuntimeError("call build(refs) first")
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if queries.shape[1] != self._refs.shape[1]:
+            raise ValueError(
+                f"dimension mismatch: queries k={queries.shape[1]}, "
+                f"refs k={self._refs.shape[1]}"
+            )
         if self.spec.num == 4 and self._built is not None:
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
@@ -297,20 +305,20 @@ class NNEngine:
                 from nns_tpu.kernels.cell_list import CellListEngine
 
                 if isinstance(self._built, CellListEngine):
-                    idx, ok = self._built.query_with_flags(queries)
-                    cov = float(np.asarray(ok).mean()) if len(ok) else 1.0
-                    if not ok.all():
-                        from nns_tpu.kernels.pallas_fused import fused_fallback
-
-                        idx = np.array(idx)
-                        bad = np.flatnonzero(~np.asarray(ok))
-                        idx[bad] = np.asarray(fused_fallback(queries[bad], self._refs))
+                    idx, cov = self._built.query_with_coverage(queries)
                     # Workload adaptation: when the certificate keeps failing
                     # (query distribution mismatches the index density), the
                     # cells pass is pure overhead on top of the exact scan —
-                    # demote to the staged fused engine permanently.
-                    self._low_cov_streak = self._low_cov_streak + 1 if cov < 0.3 else 0
-                    if self._low_cov_streak >= 2:
+                    # demote to the staged fused engine. Miss counts weight
+                    # by batch size so a couple of stray single-query misses
+                    # cannot demote a well-covered workload.
+                    m = queries.shape[0]
+                    self._cov_miss += int(round((1.0 - cov) * m))
+                    self._cov_seen += m
+                    if cov >= 0.5:
+                        self._cov_miss = 0
+                        self._cov_seen = 0
+                    elif self._cov_seen >= 128 and self._cov_miss > 0.7 * self._cov_seen:
                         from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
                         self._built = FusedBruteForce(self._refs)
@@ -333,6 +341,11 @@ class NNEngine:
         if self._refs is None:
             raise RuntimeError("call build(refs) first")
         queries = np.atleast_2d(np.asarray(queries, dtype=np.float32))
+        if queries.shape[1] != self._refs.shape[1]:
+            raise ValueError(
+                f"dimension mismatch: queries k={queries.shape[1]}, "
+                f"refs k={self._refs.shape[1]}"
+            )
         from nns_tpu.kernels.cell_list import CellListEngine
 
         if isinstance(self._built, CellListEngine):

@@ -335,6 +335,8 @@ class CellListEngine:
         (packed_np, order, q_max); q_max is None when the batch is too
         skewed for the dense kernel (caller must use the brute path)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
+        if q.ndim != 2 or q.shape[1] != 3:
+            raise ValueError(f"queries must be (m, 3); got {q.shape}")
         m = q.shape[0]
         from nns_tpu.native import native_cells_stage
 
@@ -393,7 +395,9 @@ class CellListEngine:
     def query_with_flags(self, queries: np.ndarray):
         return self.query_collect(self.query_submit(queries))
 
-    def query(self, queries: np.ndarray) -> np.ndarray:
+    def query_with_coverage(self, queries: np.ndarray) -> tuple[np.ndarray, float]:
+        """Exact answers plus the fraction certified by the index (callers
+        can adapt engine choice when coverage is persistently poor)."""
         idx, ok = self.query_with_flags(queries)
         idx = np.array(idx)
         if not ok.all():
@@ -403,7 +407,11 @@ class CellListEngine:
             idx[bad] = np.asarray(fused_fallback(
                 np.ascontiguousarray(queries, dtype=np.float32)[bad], self.refs
             ))
-        return idx.astype(np.int32)
+        cov = float(np.asarray(ok).mean()) if len(ok) else 1.0
+        return idx.astype(np.int32), cov
+
+    def query(self, queries: np.ndarray) -> np.ndarray:
+        return self.query_with_coverage(queries)[0]
 
     def query_topk(self, queries: np.ndarray, k_nn: int = 8):
         """Exact k-NN through the supercell index: (dist2[m, k], idx[m, k]),

@@ -51,6 +51,17 @@ def load_library() -> ctypes.CDLL | None:
             lib = ctypes.CDLL(_LIB)
         except OSError:
             return None
+        if not hasattr(lib, "nns_cells_stage"):
+            # Stale binary (mtime-preserving copy can defeat the freshness
+            # check): rebuild once, else fall back to numpy paths.
+            if not ensure_built(force=True):
+                return None
+            try:
+                lib = ctypes.CDLL(_LIB)
+            except OSError:
+                return None
+            if not hasattr(lib, "nns_cells_stage"):
+                return None
         f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         lib.nns_linear_scan.argtypes = [

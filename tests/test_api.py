@@ -123,3 +123,29 @@ def test_engine_query_topk():
         )[:, :4]
         d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
         np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
+
+
+def test_engine_dim_mismatch_raises():
+    q, r = make_dataset(3, 8, 4096, seed=22)
+    eng = NNEngine(4).build(r)
+    bad_q = np.zeros((8, 2), np.float32)
+    with pytest.raises(ValueError):
+        eng.query(bad_q)
+    with pytest.raises(ValueError):
+        eng.query_topk(bad_q, 4)
+
+
+def test_engine_small_batches_do_not_demote_good_coverage():
+    # Isolated single-query certificate misses must NOT permanently demote
+    # an index that covers the workload well.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(23)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    far = np.array([[3.0, 3.0, 3.0]], dtype=np.float32)  # always misses
+    good = rng.random((64, 3), dtype=np.float32)
+    for _ in range(2):
+        assert_exact(eng.query(far), far, r)   # cov=0, m=1
+        assert_exact(eng.query(good), good, r)  # cov~1 resets history
+    assert isinstance(eng._built, CellListEngine)  # still the cell index
