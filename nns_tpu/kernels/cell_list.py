@@ -247,17 +247,17 @@ class CellListEngine:
             refs, self.D, self.halo, self.mn, self.W, max_candidates, PAD_SENTINEL
         )
         if native is not None:
-            halo_pts, halo_ids, counts = native
-            if halo_pts is None:
+            halo_dm_np, halo_ids, counts = native
+            if halo_dm_np is None:
                 raise ValueError(
                     f"supercell halo overflow (R_max={int(counts.max())}): data "
                     "too clustered for the cell-list engine — use the fused "
                     "kernel or octree"
                 )
-            self.R_max = halo_pts.shape[1]
+            self.R_max = halo_dm_np.shape[2]
         else:
             halo_pts, halo_ids, counts = self._build_numpy_halos(refs, max_candidates)
-        halo_dm_np = np.swapaxes(halo_pts, 1, 2)
+            halo_dm_np = np.ascontiguousarray(np.swapaxes(halo_pts, 1, 2))
         if device_place:
             self.halo_dm = jax.device_put(jnp.asarray(halo_dm_np))
             self.halo_ids_dev = jax.device_put(jnp.asarray(halo_ids))

@@ -185,8 +185,9 @@ def native_octree_query(tree, queries) -> np.ndarray | None:
 def native_cells_build(refs: np.ndarray, d_per_dim: int, halo: float,
                        mn: np.ndarray, w: np.ndarray, r_cap: int,
                        sentinel: float):
-    """Two-pass supercell halo build. Returns (halo_pts (G, r_max_pow2, 3),
-    halo_ids, counts) or None when unavailable / r_cap exceeded."""
+    """Two-pass supercell halo build. Returns (halo_dm (G, 3, r_max_pow2) —
+    dim-major, device-ready — halo_ids, counts); (None, None, counts) on
+    r_cap overflow; None when the native lib is unavailable."""
     lib = load_library()
     if lib is None:
         return None
@@ -203,15 +204,15 @@ def native_cells_build(refs: np.ndarray, d_per_dim: int, halo: float,
     size = 128
     while size < r_max:
         size *= 2
-    halo_pts = np.full((G, size, 3), sentinel, dtype=np.float32)
+    halo_dm = np.full((G, 3, size), sentinel, dtype=np.float32)
     halo_ids = np.zeros((G, size), dtype=np.int32)
     ok = lib.nns_cells_fill(
         n, r, d_per_dim, float(halo), mn, w, size,
-        halo_pts.reshape(-1), halo_ids.reshape(-1),
+        halo_dm.reshape(-1), halo_ids.reshape(-1),
     )
     if ok != 0:
         return None
-    return halo_pts, halo_ids, counts
+    return halo_dm, halo_ids, counts
 
 
 def native_cells_stage(queries: np.ndarray, d_per_dim: int,

@@ -436,9 +436,11 @@ int nns_cells_stage(int m, const float* queries, int D, const double* mn,
   return q_max;
 }
 
+// halo_pts_dm is DIM-MAJOR (G, 3, r_cap) — the exact device layout the scan
+// kernel consumes, so the Python side never pays a strided transpose copy.
 int nns_cells_fill(int n, const float* refs, int D, double halo,
                    const double* mn, const double* w, int r_cap,
-                   float* halo_pts, int32_t* halo_ids) {
+                   float* halo_pts_dm, int32_t* halo_ids) {
   const int64_t G = (int64_t)D * D * D;
   std::vector<int32_t> cursor(G, 0);
   bool overflow = false;
@@ -449,11 +451,11 @@ int nns_cells_fill(int n, const float* refs, int D, double halo,
           overflow = true;
           return;
         }
-        float* dst = halo_pts + ((size_t)gid * r_cap + c) * 3;
+        float* base = halo_pts_dm + (size_t)gid * 3 * r_cap + c;
         const float* src = refs + 3 * (size_t)p;
-        dst[0] = src[0];
-        dst[1] = src[1];
-        dst[2] = src[2];
+        base[0 * r_cap] = src[0];
+        base[1 * r_cap] = src[1];
+        base[2 * r_cap] = src[2];
         halo_ids[(size_t)gid * r_cap + c] = p;
       });
   return overflow ? -1 : 0;
