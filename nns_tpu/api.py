@@ -94,11 +94,12 @@ def _v8(q, r, cfg):
 
 
 def _v9(q, r, cfg):
-    # The reference's "best brute force": v8's structure with the tuned
-    # kernel (core.cu:856-1058). Ours: sharded path with larger tiles.
-    from nns_tpu.parallel.sharded import nns_sharded
+    # The reference's "best brute force" (core.cu:856-1058). Ours moves the
+    # distance FLOPs onto the MXU: split-bf16 expansion matmuls + band
+    # certificate + exact refine of uncertified queries (mxu_expansion.py).
+    from nns_tpu.kernels.mxu_expansion import nns_mxu_expansion
 
-    return _as_idx(nns_sharded(q, r, tile_m=cfg.tile_m, tile_n=max(cfg.tile_n, 4096)))
+    return _as_idx(nns_mxu_expansion(q, r, tile_m=cfg.tile_m))
 
 
 def _v10(q, r, cfg):
@@ -153,7 +154,7 @@ _SPECS = [
     VersionSpec(6, "fused_queries_resident", "bruteforce", _v6, "fused kernel, whole query set VMEM-resident (v6, constant-memory analog)"),
     VersionSpec(7, "two_level", "bruteforce", _v7, "per-tile partial winners + on-device second reduce (v7, multi-block analog)"),
     VersionSpec(8, "sharded", "sharded", _v8, "refs sharded over mesh, ICI argmin merge (v8, 4-GPU analog)"),
-    VersionSpec(9, "sharded_tuned", "sharded", _v9, "sharded with tuned tiles (v9, full-unroll analog)"),
+    VersionSpec(9, "mxu_expansion", "bruteforce", _v9, "split-bf16 MXU expansion + band certificate + exact refine (v9, best-brute-force analog)"),
     VersionSpec(10, "kdtree_host", "tree", _v10, "KD-tree host build + host query (v10)"),
     VersionSpec(11, "kdtree_device", "tree", _v11, "KD-tree host build + batched device traversal (v11 — actually runs, unlike core.cu:1345)"),
     VersionSpec(12, "octree_host", "tree", _v12, "octree host build + host query (v12)"),
@@ -302,16 +303,28 @@ class NNEngine:
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:
-                from nns_tpu.kernels.cell_list import CellListEngine
+                from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
 
                 if isinstance(self._built, CellListEngine):
                     idx, cov = self._built.query_with_coverage(queries)
-                    # Workload adaptation: when the certificate keeps failing
-                    # (query distribution mismatches the index density), the
-                    # cells pass is pure overhead on top of the exact scan —
-                    # demote to the staged fused engine. Miss counts weight
-                    # by batch size so a couple of stray single-query misses
-                    # cannot demote a well-covered workload.
+                    if cov < 0.95 and type(self._built) is CellListEngine:
+                        # Workload adaptation, step 1: the single-level
+                        # certificate misses this query distribution (e.g.
+                        # sparse-region queries over clustered refs) —
+                        # promote to the adaptive cascade, which reuses this
+                        # engine as level 0 and lazily adds coarser levels
+                        # sized from the measured miss distances.
+                        self._built = CellCascade(self._refs, base=self._built)
+                    return _as_idx(idx)
+                if isinstance(self._built, CellCascade):
+                    idx, cov = self._built.query_with_coverage(queries)
+                    # Workload adaptation, step 2: if even the cascade's
+                    # union coverage stays poor (adversarial distributions
+                    # past its cost guards), the cells passes are pure
+                    # overhead on top of the exact scan — demote to the
+                    # staged fused engine. Miss counts weight by batch size
+                    # so stray single-query misses cannot demote a
+                    # well-covered workload.
                     m = queries.shape[0]
                     self._cov_miss += int(round((1.0 - cov) * m))
                     self._cov_seen += m
@@ -346,8 +359,10 @@ class NNEngine:
                 f"dimension mismatch: queries k={queries.shape[1]}, "
                 f"refs k={self._refs.shape[1]}"
             )
-        from nns_tpu.kernels.cell_list import CellListEngine
+        from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
 
+        if isinstance(self._built, CellCascade):
+            return self._built.engines[0].query_topk(queries, k_nn)
         if isinstance(self._built, CellListEngine):
             return self._built.query_topk(queries, k_nn)
         from nns_tpu.kernels.topk import nns_topk

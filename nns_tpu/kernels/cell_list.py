@@ -140,7 +140,13 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     # violated boundary and B cannot lie beyond it. So dist(B, q) > halo,
     # and best <= halo proves exactness.
     ok = d2 <= halo2
-    return jnp.stack([idx, ok.astype(jnp.int32)])  # (2, m), in sorted order
+    # Packed f32 result: [idx, ok, best_d2]. Ids are exact as f32 below 2^24
+    # (n <= 16.7M — the engine asserts this at build). best_d2 is the
+    # upper bound on the true NN distance that the cascade uses to size its
+    # next level's halo (inf when the query's halo set was empty).
+    return jnp.stack(
+        [idx.astype(jnp.float32), ok.astype(jnp.float32), d2]
+    )  # (3, m), in sorted order
 
 
 @functools.partial(jax.jit, static_argnames=("k_nn", "q_max", "g_total", "interpret"))
@@ -211,6 +217,10 @@ class CellListEngine:
         n, k = refs.shape
         if k != 3:
             raise ValueError("CellListEngine requires 3-D points")
+        if n >= 1 << 24:
+            # Result ids travel as f32 (exact below 2^24); larger sets go
+            # through the sharded engine, which partitions n per device.
+            raise ValueError("CellListEngine supports n < 2^24 per device")
         self.refs = refs
         self.n = n
 
@@ -228,12 +238,14 @@ class CellListEngine:
             # P(NN > halo) ~ exp(-n * (4/3) pi halo^3 / V) — negligible.
             volume = float(np.prod(extent))
             halo = 4.0 * (volume / max(n, 1)) ** (1.0 / 3.0) / 1.6
-        # Soundness requires halo <= W/2 per dim: the membership enumeration
-        # below visits only the {lo, hi} supercell index per dim, i.e. at
-        # most two consecutive cells — which covers every cell within halo
-        # only when 2*halo <= W. A larger requested halo is clamped — the
-        # certificate then rejects more queries (exact fallback), never lies.
-        self.halo = float(min(halo, float(self.W.min()) / 2.0))
+        # Build-cost bound: membership enumeration spans ceil(2*halo/W) + 1
+        # cells per dim, so halo is capped at one cell width (<= 3 cells per
+        # dim, <= 27 memberships per point). A larger requested halo is
+        # clamped — the certificate then rejects more queries (exact
+        # fallback), never lies. The fast native build handles the classic
+        # halo <= W/2 (8-corner) case; wider halos use the vectorized numpy
+        # enumeration.
+        self.halo = float(min(halo, float(self.W.min())))
         self.mn = mn.astype(np.float64)
 
         # Halo membership: point p joins group g iff p is within halo of g's
@@ -243,9 +255,13 @@ class CellListEngine:
         G = self.D ** 3
         from nns_tpu.native import native_cells_build
 
-        native = native_cells_build(
-            refs, self.D, self.halo, self.mn, self.W, max_candidates, PAD_SENTINEL
-        )
+        native = None
+        if self.halo <= float(self.W.min()) / 2.0:
+            # The native counting-sort build enumerates the classic
+            # {lo, hi} 8-corner memberships, valid only for halo <= W/2.
+            native = native_cells_build(
+                refs, self.D, self.halo, self.mn, self.W, max_candidates, PAD_SENTINEL
+            )
         if native is not None:
             halo_dm_np, halo_ids, counts = native
             if halo_dm_np is None:
@@ -277,22 +293,28 @@ class CellListEngine:
         return (g[:, 0] * self.D + g[:, 1]) * self.D + g[:, 2]
 
     def _build_numpy_halos(self, refs: np.ndarray, max_candidates: int):
-        """Vectorized numpy halo build (fallback when the native lib is
-        unavailable): enumerate memberships, stable-sort by group, fill."""
+        """Vectorized numpy halo build (wide-halo levels, and the fallback
+        when the native lib is unavailable): enumerate the cells whose box
+        lies within ``halo`` of each point per dim (a variable lo..hi index
+        range — the classic 8-corner case when halo <= W/2), stable-sort by
+        group, fill. Membership is per-dim (L-inf) and thus a superset of
+        the L2 ball — the certificate stays sound: any point absent from a
+        cell's set has a > halo gap in SOME dim, hence L2 distance > halo."""
         rel = refs.astype(np.float64) - self.mn
         lo = np.clip(np.floor((rel - self.halo) / self.W).astype(np.int64), 0, self.D - 1)
         hi = np.clip(np.floor((rel + self.halo) / self.W).astype(np.int64), 0, self.D - 1)
+        span = (hi - lo).max(axis=0) + 1  # per-dim enumeration width
         pairs_pt: list[np.ndarray] = []
         pairs_gid: list[np.ndarray] = []
-        for dx in range(2):
-            gx = np.where(dx == 0, lo[:, 0], hi[:, 0])
-            vx = (dx == 0) | (hi[:, 0] != lo[:, 0])
-            for dy in range(2):
-                gy = np.where(dy == 0, lo[:, 1], hi[:, 1])
-                vy = (dy == 0) | (hi[:, 1] != lo[:, 1])
-                for dz in range(2):
-                    gz = np.where(dz == 0, lo[:, 2], hi[:, 2])
-                    vz = (dz == 0) | (hi[:, 2] != lo[:, 2])
+        for dx in range(int(span[0])):
+            gx = lo[:, 0] + dx
+            vx = gx <= hi[:, 0]
+            for dy in range(int(span[1])):
+                gy = lo[:, 1] + dy
+                vy = gy <= hi[:, 1]
+                for dz in range(int(span[2])):
+                    gz = lo[:, 2] + dz
+                    vz = gz <= hi[:, 2]
                     valid = vx & vy & vz
                     gid = (gx * self.D + gy) * self.D + gz
                     pairs_pt.append(np.flatnonzero(valid))
@@ -382,18 +404,32 @@ class CellListEngine:
         return (self.query_staged(packed_np, q_max), order, packed_np.shape[0])
 
     def query_collect(self, token):
+        idx, ok, _ = self.query_collect_dist(token)
+        return idx, ok
+
+    def query_collect_dist(self, token):
         packed, order, m = token
         if packed is None:
-            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
+            return (
+                np.zeros(m, dtype=np.int32),
+                np.zeros(m, dtype=bool),
+                np.full(m, np.inf, dtype=np.float32),
+            )
         packed = np.asarray(packed)  # the single round-trip
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)
         idx = packed[0][inv].astype(np.int32)
         ok = packed[1][inv].astype(bool)
-        return idx, ok
+        d2 = packed[2][inv].astype(np.float32)
+        return idx, ok, d2
 
     def query_with_flags(self, queries: np.ndarray):
         return self.query_collect(self.query_submit(queries))
+
+    def query_with_flags_dist(self, queries: np.ndarray):
+        """(idx, certified, best_d2): best_d2 upper-bounds each query's true
+        NN distance whenever its halo set was nonempty (inf otherwise)."""
+        return self.query_collect_dist(self.query_submit(queries))
 
     def query_with_coverage(self, queries: np.ndarray) -> tuple[np.ndarray, float]:
         """Exact answers plus the fraction certified by the index (callers
@@ -479,42 +515,71 @@ class CellListEngine:
 
 
 class CellCascade:
-    """Multi-resolution stack of supercell engines.
+    """Multi-resolution stack of supercell engines with ADAPTIVE levels.
 
     A single halo radius certifies only queries whose NN lies within it —
     great for matched query/ref densities, poor when queries sit in sparse
-    regions (e.g. uniform queries over clustered refs: ~18% coverage
-    measured). The cascade re-asks failed queries at progressively coarser
-    grids with wider halos (each level exact by its own certificate), and
-    only the final survivors pay the exact full scan. Uniform workloads
-    terminate at level 0 with zero extra query cost."""
+    regions (uniform queries over 1M clustered refs: ~18% level-0 coverage
+    measured round 1). The cascade re-asks failed queries at coarser grids
+    with wider halos; each new level's halo is sized from the FAILED
+    queries' measured best-candidate distances (d2 from the scan kernel is
+    an upper bound on each query's true NN distance whenever its halo set
+    was nonempty), so the next level certifies ~98% of them by
+    construction. The grid size is co-chosen as the largest D compatible
+    with that halo (soundness requires halo <= W/2 = extent/(2D)). Each
+    level is exact by its own certificate; only final survivors pay the
+    exact full scan. Uniform workloads terminate at level 0 with zero
+    extra query cost.
 
-    def __init__(self, refs: np.ndarray, levels: int = 3):
+    Cost guards: a level is rejected (cascade exhausted) when its worst
+    candidate set approaches brute-force cost (R_max > 3n/4) or its dense
+    halo tensor would exceed ~1.5 GB. Levels build lazily — only when a
+    batch actually needs them — so matched workloads never pay for them."""
+
+    def __init__(self, refs: np.ndarray, levels: int = 4,
+                 base: CellListEngine | None = None):
         refs = np.ascontiguousarray(refs, dtype=np.float32)
         self.refs = refs
         self.max_levels = max(1, levels)
         self._exhausted = False
-        self.engines: list[CellListEngine] = [CellListEngine(refs)]
+        self.engines: list[CellListEngine] = [
+            base if base is not None else CellListEngine(refs)
+        ]
 
-    def _maybe_build_next_level(self) -> bool:
-        """Lazily add one coarser level (built only when a query batch
-        actually needs it). A level whose worst-case candidate set
-        approaches brute-force cost (R_max > n/8 — coarse grids have no
-        selectivity on heavily clustered data) is rejected and the cascade
-        marked exhausted: further misses go straight to the exact scan."""
+    def _maybe_build_next_level(self, failed_d2: np.ndarray) -> bool:
+        """Lazily add one coarser level sized to cover the failed queries."""
         if self._exhausted or len(self.engines) >= self.max_levels:
             return False
         prev = self.engines[-1]
-        d = max(2, prev.D // 3)
-        if d == prev.D:
+        extent_min = float((prev.W * prev.D).min())
+        # Target halo: cover ~98% of the failed queries whose NN distance we
+        # could bound. Queries whose halo set was EMPTY report the sentinel
+        # distance — not an NN bound — so only sub-sentinel values count;
+        # geometric 4x fallback when none exist.
+        finite = failed_d2[failed_d2 < (0.25 * PAD_SENTINEL) ** 2]
+        halo = 4.0 * float(prev.halo)
+        if finite.size:
+            halo = max(halo, 1.05 * float(np.sqrt(np.quantile(finite, 0.98))))
+        # Largest grid whose cell width W = extent/D still admits this halo
+        # (the engine supports halo <= W via 3-cell/dim membership).
+        d = int(np.clip(extent_min / halo, 2, prev.D - 1))
+        if d >= prev.D:
             self._exhausted = True
             return False
         try:
-            eng = CellListEngine(self.refs, d_per_dim=d, halo=float(prev.halo) * 4.0)
+            eng = CellListEngine(
+                self.refs, d_per_dim=d, halo=halo,
+                max_candidates=self.refs.shape[0],
+            )
         except ValueError:
             self._exhausted = True
             return False
-        if eng.R_max > max(self.refs.shape[0] // 8, 4096):
+        n = self.refs.shape[0]
+        mem = eng.D ** 3 * eng.R_max * 3 * 4
+        # A level still pays while its worst candidate set undercuts the
+        # full scan (levels are lazy, so covered workloads never fund them);
+        # reject only near-brute-force levels and oversized halo tensors.
+        if eng.R_max > max(3 * n // 4, 4096) or mem > (1536 << 20):
             self._exhausted = True
             return False
         self.engines.append(eng)
@@ -526,24 +591,30 @@ class CellCascade:
         idx = np.zeros(m, dtype=np.int32)
         remaining = np.arange(m)
         level = 0
+        last_d2 = np.full(m, np.inf, dtype=np.float32)
         while remaining.size:
-            if level >= len(self.engines) and not self._maybe_build_next_level():
+            if level >= len(self.engines) and not self._maybe_build_next_level(
+                last_d2
+            ):
                 break
-            i_lvl, ok_lvl = self.engines[level].query_with_flags(q[remaining])
+            i_lvl, ok_lvl, d2_lvl = self.engines[level].query_with_flags_dist(
+                q[remaining]
+            )
             hit = remaining[ok_lvl]
             idx[hit] = i_lvl[ok_lvl]
             remaining = remaining[~ok_lvl]
-            # A level that certifies under half of what it was asked isn't
-            # pulling its weight on this distribution — the exact scan is
-            # cheaper than descending further.
-            if ok_lvl.size and ok_lvl.mean() < 0.5:
+            last_d2 = d2_lvl[~ok_lvl]
+            # A level that certified nothing can't inform a better next
+            # level — stop descending and let the exact scan finish.
+            if ok_lvl.size and not ok_lvl.any():
                 break
             level += 1
         ok = np.ones(m, dtype=bool)
         ok[remaining] = False
         return idx, ok
 
-    def query(self, queries: np.ndarray) -> np.ndarray:
+    def query_with_coverage(self, queries: np.ndarray) -> tuple[np.ndarray, float]:
+        """Exact answers plus the fraction certified by ANY cascade level."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         idx, ok = self.query_with_flags(q)
         if not ok.all():
@@ -551,7 +622,16 @@ class CellCascade:
 
             bad = np.flatnonzero(~ok)
             idx[bad] = np.asarray(fused_fallback(q[bad], self.refs))
-        return idx.astype(np.int32)
+        cov = float(ok.mean()) if len(ok) else 1.0
+        return idx.astype(np.int32), cov
+
+    def query(self, queries: np.ndarray) -> np.ndarray:
+        return self.query_with_coverage(queries)[0]
+
+    def save(self, path: str) -> None:
+        """Persist the base level (coarser levels are derived state — they
+        rebuild lazily from measured miss distances after a load)."""
+        self.engines[0].save(path)
 
 
 def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:

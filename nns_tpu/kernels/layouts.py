@@ -7,9 +7,12 @@ and how do we pad to hardware tile boundaries (lane width 128, f32 sublane 8).
 
 Padding contract: dimensions (k) are zero-padded on BOTH queries and refs —
 appending zero coordinates to both sides leaves every pairwise distance
-unchanged. Reference points (n) are padded with a large sentinel coordinate
-so padded points can never win the argmin. Queries (m) are padded arbitrarily
-and the tail results sliced off.
+unchanged. Reference points (n) are padded by replicating the first real
+point (see pad_refs: exact for any data range; replicas lose every
+tie-break). Queries (m) are padded arbitrarily and the tail results sliced
+off. PAD_SENTINEL remains for *distance/slot* padding (empty candidate
+slots in the cell engine), where it is certificate-guarded, not for
+reference-point coordinates.
 """
 
 from __future__ import annotations
@@ -43,12 +46,24 @@ def pad_dims(points: jnp.ndarray, k_mult: int) -> jnp.ndarray:
 
 
 def pad_refs(refs: jnp.ndarray, n_mult: int) -> jnp.ndarray:
-    """Sentinel-pad the point axis of (n, k) to a multiple of n_mult."""
+    """Pad the point axis of (n, k) to a multiple of n_mult by replicating
+    the first reference point.
+
+    Replicas are real points, so padding is exact for ANY data range — a
+    fixed far-away sentinel coordinate can be *closer* than every real
+    reference to a query outside the assumed range, returning an
+    out-of-range index. Replicas sit at indices >= n, after the index-0
+    original, so every argmin/merge path in the package (lowest-index XLA
+    argmin, strict-< Pallas tile merges in ascending tile order,
+    lowest-global-index sharded merge) resolves exact ties to the real
+    index-0 copy, never a replica.
+    """
     n = refs.shape[0]
     np_ = round_up(n, n_mult)
     if np_ == n:
         return refs
-    return jnp.pad(refs, ((0, np_ - n), (0, 0)), constant_values=PAD_SENTINEL)
+    pad = jnp.broadcast_to(refs[0], (np_ - n, refs.shape[1]))
+    return jnp.concatenate([jnp.asarray(refs), pad], axis=0)
 
 
 def pad_queries(queries: jnp.ndarray, m_mult: int) -> jnp.ndarray:

@@ -56,9 +56,10 @@ def _pad_to_tiles(queries, refs, tile_m: int, tile_n: int):
 
     Pallas fills out-of-range block reads with zeros, and a zero-coordinate
     phantom reference point could win an argmin — so reference points must be
-    padded with the distance sentinel up to an exact tile multiple, never
-    left to implicit block padding. Queries pad with zeros (rows are
-    independent; tails are sliced off).
+    padded explicitly up to an exact tile multiple (replicas of refs[0],
+    which lose every tie-break — see layouts.pad_refs), never left to
+    implicit block padding. Queries pad with zeros (rows are independent;
+    tails are sliced off).
     """
     m, n = queries.shape[0], refs.shape[0]
     tm = min(tile_m, layouts.round_up(m, _SUBLANE))
@@ -114,7 +115,7 @@ def _fused_kernel(q_ref, r_ref, min_ref, idx_ref, *, k: int, tile_n: int):
 
 def prepare_refs(refs, tile_n: int = 2048):
     """One-time reference staging for the prepare-once/query-many path:
-    sentinel-pad n to a tile multiple and transpose to dim-major (k, n_pad)
+    replica-pad n to a tile multiple and transpose to dim-major (k, n_pad)
     (the AoS->SoA transform, done once instead of per query batch — the
     production-serving shape). Returns (r_dm, tn)."""
     n = refs.shape[0]

@@ -67,8 +67,8 @@ def sharded_argmin(
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     m = queries.shape[0]
-    # Pad n so every shard is equal-sized and lane-aligned; sentinel points
-    # can never win (layouts.PAD_SENTINEL).
+    # Pad n so every shard is equal-sized and lane-aligned; replica padding
+    # (copies of refs[0]) loses every tie-break (layouts.pad_refs).
     r = layouts.pad_refs(jnp.asarray(refs), n_dev * _LANE)
     shard_n = r.shape[0] // n_dev
     fn = _build(mesh, axis, shard_n, tile_m, tile_n, _interpret())

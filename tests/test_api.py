@@ -14,7 +14,7 @@ def test_registry_has_ladder_plus_flagship():
     assert len(specs) == 15  # v0..v13 ladder parity + the v14 flagship
     assert [s.num for s in specs] == list(range(15))
     assert get_version("fused").num == 4
-    assert get_version(9).name == "sharded_tuned"
+    assert get_version(9).name == "mxu_expansion"
     assert get_version("cells").num == 14
     with pytest.raises(KeyError):
         get_version("nope")
@@ -137,8 +137,10 @@ def test_engine_dim_mismatch_raises():
 
 def test_engine_small_batches_do_not_demote_good_coverage():
     # Isolated single-query certificate misses must NOT permanently demote
-    # an index that covers the workload well.
-    from nns_tpu.kernels.cell_list import CellListEngine
+    # an index that covers the workload well (promotion to the cascade is
+    # fine — it keeps the cell index as level 0; demotion to the brute
+    # engine is not).
+    from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
 
     rng = np.random.default_rng(23)
     r = rng.random((65536, 3), dtype=np.float32)
@@ -148,4 +150,4 @@ def test_engine_small_batches_do_not_demote_good_coverage():
     for _ in range(2):
         assert_exact(eng.query(far), far, r)   # cov=0, m=1
         assert_exact(eng.query(good), good, r)  # cov~1 resets history
-    assert isinstance(eng._built, CellListEngine)  # still the cell index
+    assert isinstance(eng._built, (CellListEngine, CellCascade))

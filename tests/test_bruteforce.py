@@ -5,6 +5,7 @@ reference grid (main.cu:38-51 corners, SURVEY.md §4)."""
 import numpy as np
 import pytest
 
+import nns_tpu
 from conftest import assert_exact
 from nns_tpu.data import make_dataset
 from nns_tpu.kernels.pallas_fused import (
@@ -61,3 +62,44 @@ def test_single_query_single_ref():
     r = np.array([[0.9, 0.9, 0.9]], dtype=np.float32)
     for fn in ALL_BRUTE:
         assert np.asarray(fn(q, r))[0] == 0, fn.__name__
+
+
+def test_v2_expansion_exact_at_offset():
+    """ADVICE r1 (high): the expansion form alone misranks when rounding
+    O(eps*scale^2) exceeds true distance gaps. A large common offset makes
+    expansion error dominate — the refine pass must restore exactness."""
+    rng = np.random.default_rng(42)
+    base = rng.random((2048, 3)).astype(np.float32) * 1e-3 + 1000.0
+    q = (rng.random((128, 3)).astype(np.float32) * 1e-3 + 1000.0)
+    idx = nns_tpu.nns(q, base, version=2)
+    assert_exact(idx, q, base)
+
+
+def test_v2_duplicate_fallback_exact():
+    """>L duplicates of the NN defeat the candidate certificate; v2 must
+    fall back to the exact scan and still return the lowest index."""
+    refs = np.ones((64, 4), dtype=np.float32) * 0.5
+    refs[40:] = 0.9
+    q = np.full((8, 4), 0.49, dtype=np.float32)
+    idx = np.asarray(nns_tpu.nns(q, refs, version=2))
+    np.testing.assert_array_equal(idx, np.zeros(8, dtype=np.int32))
+
+
+def test_far_query_padding_in_range():
+    """ADVICE r1 (medium): a query farther than the old 1e6 sentinel must
+    not select a padding phantom — replica padding keeps every result a
+    real in-range reference for any data range. (At 3e6 offsets f32
+    arithmetic cannot discriminate sub-eps distance gaps, so the assertion
+    is in-range + within f32 resolution of the true minimum, not f64
+    recall.)"""
+    rng = np.random.default_rng(7)
+    refs = rng.random((1000, 3)).astype(np.float32)  # pads up to tile size
+    q = np.array([[3e6, 3e6, 3e6]], dtype=np.float32)
+    d = ((q[:, None, :].astype(np.float64) - refs[None]) ** 2).sum(-1)[0]
+    dmin = d.min()
+    for v in (1, 2, 3, 4, 5, 6, 7, 8, 9):
+        idx = np.asarray(nns_tpu.nns(q, refs, version=v))
+        assert 0 <= idx[0] < 1000, f"v{v} returned out-of-range {idx[0]}"
+        assert d[idx[0]] <= dmin * (1 + 4 * np.finfo(np.float32).eps), (
+            f"v{v} result outside the f32 resolution band"
+        )

@@ -170,3 +170,35 @@ def test_cell_list_topk_fallback_when_k_exceeds_halo():
     )[:, :k]
     d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
     np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
+
+
+def test_cascade_clustered_coverage():
+    """VERDICT r1 #3: uniform queries over clustered refs defeat a single
+    halo radius (~18% coverage at 1M); the adaptive cascade must certify
+    >= 95% through coarser levels sized from measured miss distances."""
+    from nns_tpu.kernels.cell_list import CellCascade
+
+    q, r = make_dataset(3, 512, 120_000, seed=5, clustered=True)
+    cas = CellCascade(r)
+    idx, cov = cas.query_with_coverage(q)
+    assert_exact(idx, q, r)
+    assert cov >= 0.95, f"cascade union coverage {cov} < 0.95"
+    assert len(cas.engines) >= 2  # it actually descended
+
+
+def test_nnengine_promotes_to_cascade_on_clustered():
+    """NNEngine(v14) must promote CellListEngine -> CellCascade when the
+    single-level certificate misses a batch, and stay exact throughout."""
+    from nns_tpu.api import NNEngine
+    from nns_tpu.kernels.cell_list import CellCascade
+
+    q, r = make_dataset(3, 256, 120_000, seed=6, clustered=True)
+    eng = NNEngine(14).build(r)
+    idx1 = eng.query(q)
+    assert_exact(idx1, q, r)
+    assert isinstance(eng._built, CellCascade)  # promoted after batch 1
+    q2 = np.random.default_rng(77).random((256, 3)).astype(np.float32)
+    idx2 = eng.query(q2)
+    assert_exact(idx2, q2, r)
+    _, cov = eng._built.query_with_coverage(q2)
+    assert cov >= 0.95

@@ -32,9 +32,12 @@ def _random_case(rng):
 
 @pytest.mark.parametrize("case_seed", range(12))
 def test_fuzz_versions_exact(case_seed):
+    """Every registry entry (v0..v14) over random shapes/distributions —
+    including v5's DMA path, v6's budget fallback, and v9's certificate
+    fallback on the duplicate-heavy cases."""
     rng = np.random.default_rng(1000 + case_seed)
     q, r = _random_case(rng)
-    versions = [0, 2, 4, 7, 8, 14]
+    versions = [0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 14]
     if r.shape[1] <= 16:
         versions += [10, 11]
     if r.shape[1] == 3:
@@ -42,6 +45,39 @@ def test_fuzz_versions_exact(case_seed):
     for v in versions:
         idx = nns_tpu.nns(q, r, version=v)
         assert_exact(idx, q, r)
+
+
+def test_fuzz_v6_budget_fallback():
+    """Shapes chosen to overflow v6's VMEM query budget, forcing the
+    core.cu:546-550 fallback contract through the random generator."""
+    rng = np.random.default_rng(31337)
+    k = 8
+    m = 5000  # > 4 MiB/ (8*4) bytes? no — exceed via tiny budget config
+    q = rng.random((m, k)).astype(np.float32)
+    r = rng.random((700, k)).astype(np.float32)
+    from nns_tpu.config import EngineConfig
+
+    cfg = EngineConfig(vmem_query_budget_bytes=1024)
+    idx = nns_tpu.nns(q, r, version=6, config=cfg)
+    assert_exact(idx, q, r)
+
+
+def test_fuzz_sharded_duplicate_tiebreak():
+    """Duplicate-heavy refs spread across shards: the sharded merge must
+    return the LOWEST global index among exact ties (v8 contract)."""
+    rng = np.random.default_rng(777)
+    k = 4
+    base = rng.random((16, k)).astype(np.float32)
+    refs = base[rng.integers(0, 16, 1024)]  # every point duplicated ~64x
+    queries = base[rng.integers(0, 16, 64)]  # queries ON duplicate sites
+    idx = nns_tpu.nns(queries, refs, version=8)
+    # Oracle lowest-index ties in f64.
+    d = np.sum(
+        (queries[:, None, :].astype(np.float64) - refs[None].astype(np.float64)) ** 2,
+        axis=-1,
+    )
+    expect = np.argmin(d, axis=1)
+    np.testing.assert_array_equal(np.asarray(idx), expect)
 
 
 @pytest.mark.parametrize("case_seed", range(4))

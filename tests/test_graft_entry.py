@@ -16,8 +16,8 @@ import __graft_entry__
 
 def test_entry_jits_and_runs():
     fn, args = __graft_entry__.entry()
-    out = np.asarray(jax.jit(fn)(*args))  # packed (2, m): [idx, certificate]
-    assert out.shape == (2, 256)
+    out = np.asarray(jax.jit(fn)(*args))  # packed (3, m): [idx, cert, d2]
+    assert out.shape == (3, 256)
     assert out[0].min() >= 0  # valid reference indices
     assert set(np.unique(out[1])) <= {0, 1}  # certificate flags
 
