@@ -270,10 +270,14 @@ class NNEngine:
                 from nns_tpu.trees.kdtree import KDTree
 
                 self._built = KDTree.build(refs)
+                if self.spec.num == 11 and refs.shape[1] <= 6:
+                    self._built.device_index()  # stage the beam frontier now
             elif self.spec.num in (12, 13) and refs.shape[1] == self.config.octree_k:
                 from nns_tpu.trees.octree import Octree
 
                 self._built = Octree.build(refs, max_depth=self.config.octree_max_depth)
+                if self.spec.num == 13:
+                    self._built.device_index()  # stage the beam frontier now
             else:
                 self._built = None  # falls back to brute force at query time
         elif self.spec.num == 4:

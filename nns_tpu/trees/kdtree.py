@@ -197,6 +197,15 @@ class KDTree:
 
         return kd_query_device(self, queries)
 
+    def device_index(self):
+        """Lazily-built, cached beam frontier index (trees/beam.py) — the
+        device-resident form of this tree for batched exact queries."""
+        if getattr(self, "_beam", None) is None:
+            from nns_tpu.trees.beam import kd_beam_index
+
+            self._beam = kd_beam_index(self)
+        return self._beam
+
     # -- persistence (SURVEY.md §5 checkpoint subsystem) -------------------
 
     def save(self, path: str) -> None:

@@ -241,6 +241,15 @@ class Octree:
 
         return octree_query_device(self, queries)
 
+    def device_index(self):
+        """Lazily-built, cached beam frontier index (trees/beam.py) — the
+        device-resident form of this tree for batched exact queries."""
+        if getattr(self, "_beam", None) is None:
+            from nns_tpu.trees.beam import octree_beam_index
+
+            self._beam = octree_beam_index(self)
+        return self._beam
+
     # -- persistence -------------------------------------------------------
 
     def save(self, path: str) -> None:

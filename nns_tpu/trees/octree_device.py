@@ -1,136 +1,31 @@
-"""Batched octree traversal on device — the v13 analog, for real.
+"""Device octree query — the v13 analog, TPU-first.
 
 The reference's GPU octree (core.cu:1661-1898) passes the root node by value
 into a kernel whose body is commented out (core.cu:1793-1794), returning
-zeros. This is the intended capability implemented TPU-natively: the
-linearized tree (children table, centers, radii, leaf point ranges) lives on
-device and all m queries run one jitted `lax.while_loop`; each step either
-scans a CHUNK of the current leaf's points or pops a (node, cube-distance
-bound) stack entry and pushes the surviving children nearest-first. Exact
-search (cube-distance pruning), unlike the reference's lossy 3-face-neighbor
-schedule — see octree.py.
+zeros. Round 1 implemented the intended traversal literally (a batched
+`lax.while_loop` stack machine with a per-leaf scan mode) — correct, but
+latency-bound: 2,601 ms per 1,024 queries at 1M refs. Round 2 replaces it
+with the dense beam frontier search (trees/beam.py): maximal <= cap-point
+subtrees become boxed buckets (their tight point boxes prune harder than
+the octree cubes), each query scans its `beam` nearest buckets exactly and
+certifies against the (beam+1)-th bound. The host stack machine remains in
+octree.py (v12) as the reference-shaped algorithm.
 """
 
 from __future__ import annotations
 
-import functools
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-_CHUNK = 16
 
-
-@functools.partial(jax.jit, static_argnames=("cap", "max_steps"))
-def _oct_query(q, refs, children, center, radius, start, count, order,
-               cap: int, max_steps: int):
-    m = q.shape[0]
-    rows = jnp.arange(m)
-    is_leaf = jnp.max(children, axis=1) < 0
-
-    stack_n = jnp.zeros((m, cap), dtype=jnp.int32)  # root = node 0, bound 0
-    stack_b = jnp.zeros((m, cap), dtype=jnp.float32)
-    sp = jnp.ones(m, dtype=jnp.int32)
-    best_d = jnp.full(m, jnp.inf, dtype=jnp.float32)
-    best_i = jnp.zeros(m, dtype=jnp.int32)
-    scan_pos = jnp.zeros(m, dtype=jnp.int32)
-    scan_end = jnp.zeros(m, dtype=jnp.int32)
-
-    step = jnp.int32(0)
-
-    # Step cap: guards runtime watchdogs against pathological traversals;
-    # capped-out queries are re-answered by the caller's exact brute pass.
-    def cond(state):
-        _, _, sp, _, _, scan_pos, scan_end, step = state
-        return jnp.any((scan_pos < scan_end) | (sp > 0)) & (step < max_steps)
-
-    def body(state):
-        stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step = state
-        scanning = scan_pos < scan_end
-
-        # -- scan step: CHUNK leaf points per scanning query ---------------
-        offs = jnp.arange(_CHUNK, dtype=jnp.int32)
-        idxs = scan_pos[:, None] + offs[None, :]
-        in_rng = (idxs < scan_end[:, None]) & scanning[:, None]
-        safe = jnp.where(in_rng, idxs, 0)
-        pnts = order[safe]
-        diff = q[:, None, :] - refs[pnts]
-        d2 = jnp.sum(diff * diff, axis=2)
-        d2 = jnp.where(in_rng, d2, jnp.inf)
-        cmin = jnp.min(d2, axis=1)
-        carg = pnts[rows, jnp.argmin(d2, axis=1)]
-        better = scanning & (cmin < best_d)
-        best_d = jnp.where(better, cmin, best_d)
-        best_i = jnp.where(better, carg, best_i)
-        scan_pos = jnp.where(scanning, jnp.minimum(scan_pos + _CHUNK, scan_end), scan_pos)
-
-        # -- pop step for non-scanning queries -----------------------------
-        popping = jnp.logical_not(scan_pos < scan_end) & (sp > 0)
-        top = jnp.maximum(sp - 1, 0)
-        node = jnp.where(popping, stack_n[rows, top], 0)
-        bound = stack_b[rows, top]
-        sp = sp - popping
-
-        process = popping & (bound < best_d)
-        leaf = process & is_leaf[node]
-        scan_pos = jnp.where(leaf, start[node], scan_pos)
-        scan_end = jnp.where(leaf, start[node] + count[node], scan_end)
-
-        inner = process & jnp.logical_not(is_leaf[node])
-        ch = children[node]
-        ch_valid = (ch >= 0) & inner[:, None]
-        safe_ch = jnp.where(ch_valid, ch, 0)
-        cc = center[safe_ch]
-        cr = radius[safe_ch]
-        gap = jnp.maximum(jnp.abs(q[:, None, :] - cc) - cr[:, :, None], 0.0)
-        cbound = jnp.sum(gap * gap, axis=2)
-        cbound = jnp.where(ch_valid & (cbound < best_d[:, None]), cbound, jnp.inf)
-        ord8 = jnp.argsort(-cbound, axis=1)
-        sorted_b = jnp.take_along_axis(cbound, ord8, axis=1)
-        sorted_n = jnp.take_along_axis(safe_ch, ord8, axis=1)
-        for j in range(8):
-            bj = sorted_b[:, j]
-            nj = sorted_n[:, j]
-            push = jnp.isfinite(bj)
-            stack_n = stack_n.at[rows, sp].set(jnp.where(push, nj, stack_n[rows, sp]))
-            stack_b = stack_b.at[rows, sp].set(jnp.where(push, bj, stack_b[rows, sp]))
-            sp = sp + push
-
-        return stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step + 1
-
-    state = (stack_n, stack_b, sp, best_d, best_i, scan_pos, scan_end, step)
-    out = jax.lax.while_loop(cond, body, state)
-    incomplete = ((out[5] < out[6]) | (out[2] > 0))
-    return out[4], incomplete
-
-
-def octree_query_device(tree, queries, max_steps: int = 50_000) -> np.ndarray:
-    q = jnp.asarray(np.ascontiguousarray(queries, dtype=np.float32))
-    idx, incomplete = _oct_query(
-        q,
-        jnp.asarray(tree.refs),
-        jnp.asarray(tree.children),
-        jnp.asarray(tree.center),
-        jnp.asarray(tree.radius),
-        jnp.asarray(tree.start),
-        jnp.asarray(tree.count),
-        jnp.asarray(tree.order),
-        cap=tree.stack_cap(),
-        max_steps=max_steps,
-    )
-    idx = np.array(idx)
-    incomplete = np.asarray(incomplete)
-    if incomplete.any():
-        from nns_tpu.kernels.pallas_fused import fused_fallback
-
-        bad = np.flatnonzero(incomplete)
-        idx[bad] = np.asarray(fused_fallback(np.asarray(queries, dtype=np.float32)[bad], tree.refs))
-    return idx
+def octree_query_device(tree, queries, beam: int = 8) -> np.ndarray:
+    """Exact batched device query through the tree's beam frontier index.
+    A too-small beam only shrinks certificate coverage — uncertified
+    queries are re-answered by the exact fused scan, never returned wrong."""
+    return tree.device_index().query_exact(queries, beam=beam)
 
 
 def nns_octree_device(queries, refs, max_depth: int = 9) -> np.ndarray:
-    """v13: octree host build + batched device traversal; k != 3 falls back
+    """v13: octree host build + batched device query; k != 3 falls back
     to the linear scan (reference contract, core.cu:1882-1885)."""
     if refs.shape[1] != 3:
         from nns_tpu.kernels.oracle import linear_scan

@@ -86,13 +86,25 @@ def test_kdtree_tiny():
     assert nns_kdtree_device(q, r)[0] == 0
 
 
-def test_kdtree_device_step_cap_fallback_exact():
-    # A tiny step cap forces the incomplete path; results must stay exact
-    # via the brute-force fallback.
+def test_kdtree_device_tiny_beam_fallback_exact():
+    # A beam of 1 bucket leaves most queries uncertified; results must stay
+    # exact via the wider-retry / brute-force fallback chain.
     from nns_tpu.trees.kdtree import KDTree
     from nns_tpu.trees.kdtree_device import kd_query_device
 
     q, r = make_dataset(3, 32, 2048, seed=11)
     tree = KDTree.build(r)
-    idx = kd_query_device(tree, q, max_steps=3)
+    idx = kd_query_device(tree, q, beam=1)
     assert_exact(idx, q, r)
+
+
+def test_kdtree_beam_certificate_coverage():
+    # On uniform data the default beam should certify nearly every query
+    # (the perf contract: fallback scans must be the rare path).
+    from nns_tpu.trees.kdtree import KDTree
+
+    q, r = make_dataset(3, 256, 65536, seed=12)
+    tree = KDTree.build(r)
+    idx, ok = tree.device_index().query_with_flags(q, beam=8)
+    assert ok.mean() >= 0.95
+    assert_exact(tree.device_index().query_exact(q), q, r)

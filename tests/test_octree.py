@@ -91,11 +91,21 @@ def test_octree_save_load(tmp_path):
     np.testing.assert_array_equal(tree.query_host(q), loaded.query_host(q))
 
 
-def test_octree_device_step_cap_fallback_exact():
+def test_octree_device_tiny_beam_fallback_exact():
     from nns_tpu.trees.octree import Octree
     from nns_tpu.trees.octree_device import octree_query_device
 
     q, r = make_dataset(3, 32, 2048, seed=11)
     tree = Octree.build(r)
-    idx = octree_query_device(tree, q, max_steps=3)
+    idx = octree_query_device(tree, q, beam=1)
     assert_exact(idx, q, r)
+
+
+def test_octree_beam_certificate_coverage():
+    from nns_tpu.trees.octree import Octree
+
+    q, r = make_dataset(3, 256, 65536, seed=12)
+    tree = Octree.build(r)
+    idx, ok = tree.device_index().query_with_flags(q, beam=8)
+    assert ok.mean() >= 0.95
+    assert_exact(tree.device_index().query_exact(q), q, r)
