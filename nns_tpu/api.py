@@ -307,28 +307,30 @@ class NNEngine:
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:
-                from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
+                from nns_tpu.kernels.cell_list import CellListEngine
+                from nns_tpu.trees.beam import BeamIndex
 
                 if isinstance(self._built, CellListEngine):
                     idx, cov = self._built.query_with_coverage(queries)
                     if cov < 0.95 and type(self._built) is CellListEngine:
-                        # Workload adaptation, step 1: the single-level
+                        # Workload adaptation, step 1: the fixed-halo
                         # certificate misses this query distribution (e.g.
                         # sparse-region queries over clustered refs) —
-                        # promote to the adaptive cascade, which reuses this
-                        # engine as level 0 and lazily adds coarser levels
-                        # sized from the measured miss distances.
-                        self._built = CellCascade(self._refs, base=self._built)
+                        # promote to the adaptive-depth octree beam index,
+                        # whose buckets track the data density (measured
+                        # 99.8% coverage where the fixed halo certifies 18%).
+                        from nns_tpu.trees.octree import Octree
+
+                        self._built = Octree.build(self._refs).device_index()
                     return _as_idx(idx)
-                if isinstance(self._built, CellCascade):
+                if isinstance(self._built, BeamIndex):
                     idx, cov = self._built.query_with_coverage(queries)
-                    # Workload adaptation, step 2: if even the cascade's
-                    # union coverage stays poor (adversarial distributions
-                    # past its cost guards), the cells passes are pure
-                    # overhead on top of the exact scan — demote to the
-                    # staged fused engine. Miss counts weight by batch size
-                    # so stray single-query misses cannot demote a
-                    # well-covered workload.
+                    # Workload adaptation, step 2: if even the beam index's
+                    # coverage stays poor (adversarial distributions), its
+                    # passes are pure overhead on top of the exact scan —
+                    # demote to the staged fused engine. Miss counts weight
+                    # by batch size so stray single-query misses cannot
+                    # demote a well-covered workload.
                     m = queries.shape[0]
                     self._cov_miss += int(round((1.0 - cov) * m))
                     self._cov_seen += m
@@ -363,11 +365,10 @@ class NNEngine:
                 f"dimension mismatch: queries k={queries.shape[1]}, "
                 f"refs k={self._refs.shape[1]}"
             )
-        from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
+        from nns_tpu.kernels.cell_list import CellListEngine
+        from nns_tpu.trees.beam import BeamIndex
 
-        if isinstance(self._built, CellCascade):
-            return self._built.engines[0].query_topk(queries, k_nn)
-        if isinstance(self._built, CellListEngine):
+        if isinstance(self._built, (CellListEngine, BeamIndex)):
             return self._built.query_topk(queries, k_nn)
         from nns_tpu.kernels.topk import nns_topk
 
@@ -397,9 +398,18 @@ class NNEngine:
 
             eng._built = Octree.load(path)
         elif spec.num == 14:
-            from nns_tpu.kernels.cell_list import CellListEngine
+            # v14 checkpoints come in two on-disk forms: the supercell halo
+            # tensor, or the beam frontier a clustered workload promoted to.
+            with np.load(path) as z:
+                is_beam = "beam_pts" in z
+            if is_beam:
+                from nns_tpu.trees.beam import BeamIndex
 
-            eng._built = CellListEngine.load(path)
+                eng._built = BeamIndex.load(path)
+            else:
+                from nns_tpu.kernels.cell_list import CellListEngine
+
+                eng._built = CellListEngine.load(path)
         else:
             raise ValueError("load() supports tree/index versions (10-14) only")
         eng._refs = eng._built.refs

@@ -17,7 +17,6 @@ from nns_tpu.kernels.pallas_fused import (  # noqa: F401
     nns_two_level,
 )
 from nns_tpu.kernels.cell_list import (  # noqa: F401
-    CellCascade,
     CellListEngine,
     nns_cell_list,
 )

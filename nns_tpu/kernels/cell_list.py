@@ -142,8 +142,8 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     ok = d2 <= halo2
     # Packed f32 result: [idx, ok, best_d2]. Ids are exact as f32 below 2^24
     # (n <= 16.7M — the engine asserts this at build). best_d2 is the
-    # upper bound on the true NN distance that the cascade uses to size its
-    # next level's halo (inf when the query's halo set was empty).
+    # upper bound on the true NN distance whenever the halo set was nonempty
+    # (inf otherwise) — adaptive consumers size structures from it.
     return jnp.stack(
         [idx.astype(jnp.float32), ok.astype(jnp.float32), d2]
     )  # (3, m), in sorted order
@@ -514,126 +514,6 @@ class CellListEngine:
             return eng
 
 
-class CellCascade:
-    """Multi-resolution stack of supercell engines with ADAPTIVE levels.
-
-    A single halo radius certifies only queries whose NN lies within it —
-    great for matched query/ref densities, poor when queries sit in sparse
-    regions (uniform queries over 1M clustered refs: ~18% level-0 coverage
-    measured round 1). The cascade re-asks failed queries at coarser grids
-    with wider halos; each new level's halo is sized from the FAILED
-    queries' measured best-candidate distances (d2 from the scan kernel is
-    an upper bound on each query's true NN distance whenever its halo set
-    was nonempty), so the next level certifies ~98% of them by
-    construction. The grid size is co-chosen as the largest D compatible
-    with that halo (soundness requires halo <= W/2 = extent/(2D)). Each
-    level is exact by its own certificate; only final survivors pay the
-    exact full scan. Uniform workloads terminate at level 0 with zero
-    extra query cost.
-
-    Cost guards: a level is rejected (cascade exhausted) when its worst
-    candidate set approaches brute-force cost (R_max > 3n/4) or its dense
-    halo tensor would exceed ~1.5 GB. Levels build lazily — only when a
-    batch actually needs them — so matched workloads never pay for them."""
-
-    def __init__(self, refs: np.ndarray, levels: int = 4,
-                 base: CellListEngine | None = None):
-        refs = np.ascontiguousarray(refs, dtype=np.float32)
-        self.refs = refs
-        self.max_levels = max(1, levels)
-        self._exhausted = False
-        self.engines: list[CellListEngine] = [
-            base if base is not None else CellListEngine(refs)
-        ]
-
-    def _maybe_build_next_level(self, failed_d2: np.ndarray) -> bool:
-        """Lazily add one coarser level sized to cover the failed queries."""
-        if self._exhausted or len(self.engines) >= self.max_levels:
-            return False
-        prev = self.engines[-1]
-        extent_min = float((prev.W * prev.D).min())
-        # Target halo: cover ~98% of the failed queries whose NN distance we
-        # could bound. Queries whose halo set was EMPTY report the sentinel
-        # distance — not an NN bound — so only sub-sentinel values count;
-        # geometric 4x fallback when none exist.
-        finite = failed_d2[failed_d2 < (0.25 * PAD_SENTINEL) ** 2]
-        halo = 4.0 * float(prev.halo)
-        if finite.size:
-            halo = max(halo, 1.05 * float(np.sqrt(np.quantile(finite, 0.98))))
-        # Largest grid whose cell width W = extent/D still admits this halo
-        # (the engine supports halo <= W via 3-cell/dim membership).
-        d = int(np.clip(extent_min / halo, 2, prev.D - 1))
-        if d >= prev.D:
-            self._exhausted = True
-            return False
-        try:
-            eng = CellListEngine(
-                self.refs, d_per_dim=d, halo=halo,
-                max_candidates=self.refs.shape[0],
-            )
-        except ValueError:
-            self._exhausted = True
-            return False
-        n = self.refs.shape[0]
-        mem = eng.D ** 3 * eng.R_max * 3 * 4
-        # A level still pays while its worst candidate set undercuts the
-        # full scan (levels are lazy, so covered workloads never fund them);
-        # reject only near-brute-force levels and oversized halo tensors.
-        if eng.R_max > max(3 * n // 4, 4096) or mem > (1536 << 20):
-            self._exhausted = True
-            return False
-        self.engines.append(eng)
-        return True
-
-    def query_with_flags(self, queries: np.ndarray):
-        q = np.ascontiguousarray(queries, dtype=np.float32)
-        m = q.shape[0]
-        idx = np.zeros(m, dtype=np.int32)
-        remaining = np.arange(m)
-        level = 0
-        last_d2 = np.full(m, np.inf, dtype=np.float32)
-        while remaining.size:
-            if level >= len(self.engines) and not self._maybe_build_next_level(
-                last_d2
-            ):
-                break
-            i_lvl, ok_lvl, d2_lvl = self.engines[level].query_with_flags_dist(
-                q[remaining]
-            )
-            hit = remaining[ok_lvl]
-            idx[hit] = i_lvl[ok_lvl]
-            remaining = remaining[~ok_lvl]
-            last_d2 = d2_lvl[~ok_lvl]
-            # A level that certified nothing can't inform a better next
-            # level — stop descending and let the exact scan finish.
-            if ok_lvl.size and not ok_lvl.any():
-                break
-            level += 1
-        ok = np.ones(m, dtype=bool)
-        ok[remaining] = False
-        return idx, ok
-
-    def query_with_coverage(self, queries: np.ndarray) -> tuple[np.ndarray, float]:
-        """Exact answers plus the fraction certified by ANY cascade level."""
-        q = np.ascontiguousarray(queries, dtype=np.float32)
-        idx, ok = self.query_with_flags(q)
-        if not ok.all():
-            from nns_tpu.kernels.pallas_fused import fused_fallback
-
-            bad = np.flatnonzero(~ok)
-            idx[bad] = np.asarray(fused_fallback(q[bad], self.refs))
-        cov = float(ok.mean()) if len(ok) else 1.0
-        return idx.astype(np.int32), cov
-
-    def query(self, queries: np.ndarray) -> np.ndarray:
-        return self.query_with_coverage(queries)[0]
-
-    def save(self, path: str) -> None:
-        """Persist the base level (coarser levels are derived state — they
-        rebuild lazily from measured miss distances after a load)."""
-        self.engines[0].save(path)
-
-
 def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
     """One-shot wrapper; non-3-D or tiny reference sets route to the fused
     kernel (capability-dispatch contract, SURVEY.md §5)."""
@@ -642,11 +522,10 @@ def nns_cell_list(queries, refs, d_per_dim: int | None = None) -> np.ndarray:
 
         return np.asarray(nns_fused(queries, refs))
     try:
-        # One-shot semantics: a single CellListEngine level — residual
-        # misses go to one exact scan, which is far cheaper than lazily
-        # building extra cascade levels that serve only this batch.
-        # (Prepare-once/query-many callers wanting multi-level coverage use
-        # CellCascade directly.)
+        # One-shot semantics: a single CellListEngine — residual misses
+        # go to one exact scan. (Prepare-once/query-many callers get
+        # workload adaptation — promotion to the octree beam index on
+        # clustered data — via NNEngine.)
         eng = CellListEngine(np.asarray(refs), d_per_dim=d_per_dim)
     except ValueError:
         from nns_tpu.kernels.pallas_fused import nns_fused

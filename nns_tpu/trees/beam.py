@@ -50,7 +50,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nns_tpu.kernels.layouts import round_up
+from nns_tpu.kernels.layouts import pow2_at_least, round_up
 
 _CHUNK_M = 1024   # queries per jitted dispatch (bounds gather/candidate VMEM)
 _MAX_F = 65536    # bucket-count guard: cap doubles until the frontier fits
@@ -109,6 +109,75 @@ def _beam_query(q, lo, hi, pts, ids, extras, extras_ids, beam: int):
     return idx.astype(jnp.int32), ok
 
 
+@functools.partial(jax.jit, static_argnames=("beam", "k_nn"))
+def _beam_topk(q, lo, hi, pts, ids, valid, extras, extras_ids,
+               beam: int, k_nn: int):
+    """Exact k-NN over the beam buckets. Unlike the 1-NN path, pad replicas
+    MUST be masked out (a replica would duplicate its bucket's first point
+    in the top-k), hence the `valid` mask. Returns one packed (m, 2*k_nn+1)
+    i32 array: [d2 bitcast to i32 | ids | certified] — i32 transit keeps
+    both halves exact for a single host fetch."""
+    m, k = q.shape
+    f_total = lo.shape[0]
+    cap = pts.shape[1]
+
+    lb = jnp.zeros((m, f_total), dtype=jnp.float32)
+    for d in range(k):
+        qd = q[:, d : d + 1]
+        gap = jnp.maximum(jnp.maximum(lo[None, :, d] - qd, qd - hi[None, :, d]), 0.0)
+        lb = lb + gap * gap
+    nb = min(beam, f_total)
+    kk = min(beam + 1, f_total)
+    neg, bids = jax.lax.top_k(-lb, kk)
+    sel = bids[:, :nb]
+    thr = -neg[:, nb] if f_total > nb else jnp.full((m,), jnp.inf, jnp.float32)
+
+    cand = pts[sel]
+    diff = q[:, None, None, :] - cand
+    d2 = jnp.sum(diff * diff, axis=3)
+    d2 = jnp.where(valid[sel], d2, jnp.inf).reshape(m, nb * cap)
+    flat_ids = ids[sel].reshape(m, nb * cap)
+    if extras.shape[0]:
+        de = jnp.zeros((m, extras.shape[0]), dtype=jnp.float32)
+        for d in range(k):
+            dd = q[:, d : d + 1] - extras[None, :, d]
+            de = de + dd * dd
+        d2 = jnp.concatenate([d2, de], axis=1)
+        flat_ids = jnp.concatenate(
+            [flat_ids, jnp.broadcast_to(extras_ids[None, :], (m, extras.shape[0]))],
+            axis=1,
+        )
+    # Iterative extraction instead of lax.top_k: a wide-row top_k with an
+    # index payload is a Mosaic/XLA compile tarpit at this shape (measured
+    # 464 s on v5e for 4K columns); k_nn unrolled argmin + where-mask passes
+    # compile in seconds and run just as fast for small k.
+    kk_nn = min(k_nn, d2.shape[1])
+    cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+    rows = jnp.arange(m)
+    d_parts, i_parts = [], []
+    for _ in range(kk_nn):
+        pos = jnp.argmin(d2, axis=1)
+        d_parts.append(d2[rows, pos])
+        i_parts.append(flat_ids[rows, pos])
+        d2 = jnp.where(cols == pos[:, None], jnp.inf, d2)
+    dists = jnp.stack(d_parts, axis=1)
+    fids = jnp.stack(i_parts, axis=1)
+    if kk_nn < k_nn:
+        dists = jnp.pad(dists, ((0, 0), (0, k_nn - kk_nn)), constant_values=jnp.inf)
+        fids = jnp.pad(fids, ((0, 0), (0, k_nn - kk_nn)))
+    # Certificate: the k-th hit must beat every unscanned bucket's bound
+    # (an infinite k-th distance means too few real candidates — uncertified).
+    ok = dists[:, -1] * _CERT_MARGIN <= thr
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(dists, jnp.int32),
+            fids.astype(jnp.int32),
+            ok[:, None].astype(jnp.int32),
+        ],
+        axis=1,
+    )
+
+
 @dataclasses.dataclass
 class BeamIndex:
     """Device-resident frontier of one tree: query-many exact NN search."""
@@ -118,6 +187,7 @@ class BeamIndex:
     hi: jnp.ndarray           # (F, k)
     pts: jnp.ndarray          # (F, cap, k)
     ids: jnp.ndarray          # (F, cap) i32
+    valid: jnp.ndarray        # (F, cap) bool — False on pad-replica slots
     extras: jnp.ndarray       # (E, k) — points stored above the frontier
     extras_ids: jnp.ndarray   # (E,) i32
 
@@ -145,6 +215,8 @@ class BeamIndex:
         pos = np.arange(len(grouped_ids)) - np.repeat(starts[:-1], counts)
         ids[bucket_of, pos] = grouped_ids
         pts = refs[ids]                                    # (F, cap, k)
+        valid = np.zeros((f_total, cap), dtype=bool)
+        valid[bucket_of, pos] = True
 
         # Tight boxes from the member points. grouped_ids is dense, so
         # consecutive NONEMPTY starts bound exactly one bucket's rows.
@@ -160,7 +232,8 @@ class BeamIndex:
         extras = refs[extras_ids] if len(extras_ids) else np.zeros((0, k), np.float32)
         dev = jax.device_put(
             (jnp.asarray(lo), jnp.asarray(hi), jnp.asarray(pts),
-             jnp.asarray(ids), jnp.asarray(extras), jnp.asarray(extras_ids))
+             jnp.asarray(ids), jnp.asarray(valid), jnp.asarray(extras),
+             jnp.asarray(extras_ids))
         )
         jax.block_until_ready(dev)
         return cls(refs, *dev)
@@ -169,45 +242,124 @@ class BeamIndex:
 
     def query_with_flags(self, queries: np.ndarray, beam: int = 8):
         """(idx, certified) over query chunks; certified=False rows need an
-        exact fallback (query_exact does it)."""
+        exact fallback (query_exact does it). All chunks are dispatched
+        asynchronously and fetched ONCE — remote-tunneled runtimes charge
+        ~35-45 ms per host fetch, which would otherwise dominate."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
-        idx = np.empty(m, dtype=np.int32)
-        ok = np.empty(m, dtype=bool)
-        step = min(_CHUNK_M, m) or 1
-        for s in range(0, m, step):
-            chunk = q[s : s + step]
-            pad = step - chunk.shape[0]
-            if pad:
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
-            ci, co = _beam_query(
-                jnp.asarray(chunk), self.lo, self.hi, self.pts, self.ids,
+        # Chunk shapes are quantized to powers of two: retry tails and odd
+        # batch sizes would otherwise compile a fresh kernel per size.
+        step = min(_CHUNK_M, pow2_at_least(max(m, 8)))
+        chunks = -(-m // step)
+        qpad = np.pad(q, ((0, chunks * step - m), (0, 0)))
+        qdev = jnp.asarray(qpad.reshape(chunks, step, q.shape[1]))  # ONE upload
+        outs = [
+            _beam_query(
+                qdev[c], self.lo, self.hi, self.pts, self.ids,
                 self.extras, self.extras_ids, beam,
             )
-            valid = step - pad
-            idx[s : s + valid] = np.asarray(ci)[:valid]
-            ok[s : s + valid] = np.asarray(co)[:valid]
+            for c in range(chunks)
+        ]
+        if len(outs) == 1:
+            packed = np.asarray(jnp.concatenate(outs[0]))
+        else:
+            packed = np.asarray(jnp.concatenate([jnp.concatenate(o) for o in outs]))
+        packed = packed.reshape(-1, 2 * step)
+        idx = packed[:, :step].reshape(-1)[:m].astype(np.int32)
+        ok = packed[:, step:].reshape(-1)[:m].astype(bool)
         return idx, ok
 
-    def query_exact(self, queries: np.ndarray, beam: int = 8) -> np.ndarray:
-        """Exact answers: beam pass, then a wider retry for a dense
-        uncertified tail, then the exact fused scan for survivors."""
+    def query_with_coverage(
+        self, queries: np.ndarray, beam: int = 8
+    ) -> tuple[np.ndarray, float]:
+        """Exact answers plus the certified fraction: beam pass, then a
+        wider retry for a dense uncertified tail, then the exact fused scan
+        for survivors (callers adapt engine choice on persistent misses)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         idx, ok = self.query_with_flags(q, beam)
         bad = np.flatnonzero(~ok)
-        if len(bad) > max(32, 0.02 * len(q)) and self.lo.shape[0] > 4 * beam:
-            # A structurally hard batch (clustered data, box-boundary
-            # queries): one wider beam usually certifies most of the tail
+        if len(bad) and self.lo.shape[0] > 4 * beam:
+            # A structurally hard tail (clustered data, box-boundary
+            # queries): one wider-beam dispatch usually certifies most of it
             # for far less than the tail's full scans.
             ri, ro = self.query_with_flags(q[bad], beam * 4)
             idx[bad] = ri
             ok[bad] = ro
             bad = np.flatnonzero(~ok)
+        cov = float(ok.mean()) if len(ok) else 1.0
         if len(bad):
             from nns_tpu.kernels.pallas_fused import fused_fallback
 
             idx[bad] = np.asarray(fused_fallback(q[bad], self.refs))
-        return idx
+        return idx, cov
+
+    def query_exact(self, queries: np.ndarray, beam: int = 8) -> np.ndarray:
+        return self.query_with_coverage(queries, beam)[0]
+
+    def query(self, queries: np.ndarray) -> np.ndarray:
+        return self.query_exact(queries)
+
+    def _topk_pass(self, q: np.ndarray, k_nn: int, beam: int):
+        m = q.shape[0]
+        step = min(_CHUNK_M, pow2_at_least(max(m, 8)))
+        chunks = -(-m // step)
+        qpad = np.pad(q, ((0, chunks * step - m), (0, 0)))
+        qdev = jnp.asarray(qpad.reshape(chunks, step, q.shape[1]))  # ONE upload
+        outs = [
+            _beam_topk(
+                qdev[c], self.lo, self.hi, self.pts, self.ids,
+                self.valid, self.extras, self.extras_ids, beam, k_nn,
+            )
+            for c in range(chunks)
+        ]
+        packed = np.asarray(jnp.concatenate(outs, axis=0))[:m]  # one fetch
+        d2 = packed[:, :k_nn].view(np.float32).copy()
+        idx = packed[:, k_nn : 2 * k_nn].astype(np.int32)
+        return d2, idx, packed[:, -1] != 0
+
+    def query_topk(self, queries: np.ndarray, k_nn: int = 8, beam: int = 8):
+        """Exact k-NN through the frontier: (dist2[m, k], idx[m, k])
+        ascending. The k-th-distance certificate is harder to satisfy than
+        1-NN's, so an uncertified tail retries at 4x beam before falling
+        back to the exact chunked top-k scan."""
+        q = np.ascontiguousarray(queries, dtype=np.float32)
+        k_nn = min(k_nn, self.refs.shape[0])
+        d2, idx, ok = self._topk_pass(q, k_nn, beam)
+        bad = np.flatnonzero(~ok)
+        if len(bad) and self.lo.shape[0] > 4 * beam:
+            rd, ri, ro = self._topk_pass(q[bad], k_nn, beam * 4)
+            d2[bad] = rd
+            idx[bad] = ri
+            ok[bad] = ro
+            bad = np.flatnonzero(~ok)
+        if len(bad):
+            from nns_tpu.kernels.topk import nns_topk
+
+            fd, fi = nns_topk(q[bad], self.refs, k_nn)
+            d2[bad] = fd
+            idx[bad] = fi
+        return d2, idx
+
+    # -- persistence (checkpoint subsystem, SURVEY.md §5) ------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path, refs=self.refs, beam_lo=np.asarray(self.lo),
+            beam_hi=np.asarray(self.hi), beam_pts=np.asarray(self.pts),
+            beam_ids=np.asarray(self.ids), beam_valid=np.asarray(self.valid),
+            beam_extras=np.asarray(self.extras),
+            beam_extras_ids=np.asarray(self.extras_ids),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "BeamIndex":
+        with np.load(path) as z:
+            dev = jax.device_put(tuple(
+                jnp.asarray(z[f"beam_{f}"])
+                for f in ("lo", "hi", "pts", "ids", "valid", "extras", "extras_ids")
+            ))
+            jax.block_until_ready(dev)
+            return cls(z["refs"], *dev)
 
 
 # ---------------------------------------------------------------------------
@@ -268,8 +420,26 @@ def octree_beam_index(tree, cap_target: int = 512) -> BeamIndex:
             break
         cap *= 2
 
-    s_arr = np.asarray(seg_start, dtype=np.int64)
-    c_arr = np.asarray(seg_count, dtype=np.int64)
+    # Greedy merge of underfull neighbors: the expansion leaves many tiny
+    # buckets (a split node's 8 children join the frontier even when 7 are
+    # nearly empty), inflating F and with it the dense lb matrix. Frontier
+    # ranges partition `order`, so sorting by start gives spatially-adjacent
+    # DFS neighbors; merging consecutive ranges up to cap keeps boxes local
+    # while shrinking F toward n/cap. Merged boxes are computed from their
+    # member points like any other bucket — exactness is unaffected.
+    so = np.argsort(np.asarray(seg_start, dtype=np.int64))
+    s_sorted = np.asarray(seg_start, dtype=np.int64)[so]
+    c_sorted = np.asarray(seg_count, dtype=np.int64)[so]
+    m_start: list[int] = []
+    m_count: list[int] = []
+    for s, c in zip(s_sorted.tolist(), c_sorted.tolist()):
+        if m_count and m_count[-1] + c <= cap:
+            m_count[-1] += c
+        else:
+            m_start.append(s)
+            m_count.append(c)
+    s_arr = np.asarray(m_start, dtype=np.int64)
+    c_arr = np.asarray(m_count, dtype=np.int64)
     total = int(c_arr.sum())
     offs = np.arange(total) - np.repeat(np.cumsum(c_arr) - c_arr, c_arr)
     grouped = order[np.repeat(s_arr, c_arr) + offs].astype(np.int32)

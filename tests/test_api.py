@@ -96,13 +96,20 @@ def test_engine_cells_overflow_downgrades_once(monkeypatch):
 
 
 def test_engine_cells_demotes_on_poor_coverage():
-    # Query distribution mismatching the index density: after two low-
-    # coverage batches the engine swaps to the staged fused path, staying
-    # exact throughout.
+    # Adversarial geometry no spatial certificate can cover: refs in a THICK
+    # spherical shell, queries at its center — each query is near-equidistant
+    # from far more buckets than any beam scans, so both the cell index and
+    # the promoted beam index miss persistently. After the miss budget the
+    # engine swaps to the staged fused path, staying exact throughout. (The
+    # shell must be thick: a thin shell makes top-2 distance gaps smaller
+    # than f32 rounding, outside ANY f32 engine's ranking envelope.)
     rng = np.random.default_rng(20)
-    r = (rng.random((65536, 3), dtype=np.float32) * np.float32(0.2)).astype(np.float32)
+    v = rng.normal(size=(65536, 3))
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    rad = (0.35 + 0.1 * rng.random(65536))[:, None]
+    r = (np.float32(0.5) + rad * v).astype(np.float32)
     eng = NNEngine(14).build(r)
-    q = (np.float32(0.5) + rng.random((64, 3), dtype=np.float32) * np.float32(0.4)).astype(np.float32)
+    q = (np.float32(0.5) + rng.random((64, 3), dtype=np.float32) * np.float32(1e-3)).astype(np.float32)
     from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
     for _ in range(3):
@@ -137,10 +144,10 @@ def test_engine_dim_mismatch_raises():
 
 def test_engine_small_batches_do_not_demote_good_coverage():
     # Isolated single-query certificate misses must NOT permanently demote
-    # an index that covers the workload well (promotion to the cascade is
-    # fine — it keeps the cell index as level 0; demotion to the brute
-    # engine is not).
-    from nns_tpu.kernels.cell_list import CellCascade, CellListEngine
+    # an index that covers the workload well (promotion to the beam index
+    # is fine; demotion to the brute engine is not).
+    from nns_tpu.kernels.cell_list import CellListEngine
+    from nns_tpu.trees.beam import BeamIndex
 
     rng = np.random.default_rng(23)
     r = rng.random((65536, 3), dtype=np.float32)
@@ -150,4 +157,4 @@ def test_engine_small_batches_do_not_demote_good_coverage():
     for _ in range(2):
         assert_exact(eng.query(far), far, r)   # cov=0, m=1
         assert_exact(eng.query(good), good, r)  # cov~1 resets history
-    assert isinstance(eng._built, (CellListEngine, CellCascade))
+    assert isinstance(eng._built, (CellListEngine, BeamIndex))

@@ -105,41 +105,22 @@ def test_cell_list_skewed_batch_guard():
     assert_exact(idx[:64], q[:64], r)  # subsample keeps the oracle cheap
 
 
-def test_cascade_uniform_level0_coverage():
-    from nns_tpu.kernels.cell_list import CellCascade
+def test_query_dist_upper_bounds_true_nn():
+    # best_d2 from the scan kernel must upper-bound each query's true NN
+    # distance whenever its halo set is nonempty (downstream consumers size
+    # adaptive structures from it).
+    from nns_tpu.kernels.cell_list import CellListEngine
 
     q, r = make_dataset(3, 128, 16384, seed=14)
-    cas = CellCascade(r)
-    assert len(cas.engines) == 1  # levels are lazy; uniform never needs more
-    idx, ok = cas.query_with_flags(q)
-    assert ok.mean() > 0.95  # uniform data certifies at level 0
-    assert_exact(cas.query(q), q, r)
-
-
-def test_cascade_lazy_level_build():
-    # Queries straddling a moderate density mismatch: level 0 misses some
-    # but certifies enough (>= 50%) that a coarser level gets built lazily.
-    from nns_tpu.kernels.cell_list import CellCascade
-
-    rng = np.random.default_rng(15)
-    r = rng.random((16384, 3), dtype=np.float32)
-    q = np.concatenate(
-        [rng.random((96, 3), dtype=np.float32),
-         rng.random((32, 3), dtype=np.float32) * np.float32(2.0)]  # outside bbox
-    ).astype(np.float32)
-    cas = CellCascade(r)
-    idx = cas.query(q)
-    assert_exact(idx, q, r)
-
-
-def test_cascade_clustered_refs_uniform_queries_exact():
-    # Heavily clustered refs: coarse levels get pruned (no selectivity) and
-    # misses go to the exact scan — result must stay exact regardless.
-    from nns_tpu.kernels.cell_list import CellCascade
-
-    q, r = make_dataset(3, 128, 32768, seed=15, clustered=True)
-    cas = CellCascade(r)
-    assert_exact(cas.query(q), q, r)
+    eng = CellListEngine(r)
+    idx, ok, d2 = eng.query_with_flags_dist(q)
+    true_d2 = np.min(
+        np.sum((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2, axis=-1),
+        axis=1,
+    )
+    finite = np.isfinite(d2)
+    assert finite.any()
+    assert (d2[finite] >= true_d2[finite] - 1e-9).all()
 
 
 def test_cell_list_topk_matches_oracle():
@@ -172,33 +153,60 @@ def test_cell_list_topk_fallback_when_k_exceeds_halo():
     np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
 
 
-def test_cascade_clustered_coverage():
-    """VERDICT r1 #3: uniform queries over clustered refs defeat a single
-    halo radius (~18% coverage at 1M); the adaptive cascade must certify
-    >= 95% through coarser levels sized from measured miss distances."""
-    from nns_tpu.kernels.cell_list import CellCascade
+def test_beam_promotion_clustered_coverage():
+    """VERDICT r1 #3: uniform queries over clustered refs defeat the fixed
+    halo certificate (~18% coverage at 1M); the adaptive-depth octree beam
+    index must certify >= 95% of them."""
+    from nns_tpu.trees.beam import octree_beam_index
+    from nns_tpu.trees.octree import Octree
 
-    q, r = make_dataset(3, 512, 120_000, seed=5, clustered=True)
-    cas = CellCascade(r)
-    idx, cov = cas.query_with_coverage(q)
+    _, r = make_dataset(3, 1, 120_000, seed=5, clustered=True)
+    rng = np.random.default_rng(42)
+    q = (rng.random((512, 3), dtype=np.float32) * (r.max(0) - r.min(0)) + r.min(0)).astype(np.float32)
+    bi = octree_beam_index(Octree.build(r))
+    idx, cov = bi.query_with_coverage(q)
     assert_exact(idx, q, r)
-    assert cov >= 0.95, f"cascade union coverage {cov} < 0.95"
-    assert len(cas.engines) >= 2  # it actually descended
+    assert cov >= 0.95, f"beam coverage {cov} < 0.95"
 
 
-def test_nnengine_promotes_to_cascade_on_clustered():
-    """NNEngine(v14) must promote CellListEngine -> CellCascade when the
-    single-level certificate misses a batch, and stay exact throughout."""
+def test_nnengine_promotes_to_beam_on_clustered():
+    """NNEngine(v14) must promote CellListEngine -> octree BeamIndex when
+    the fixed-halo certificate misses a batch, and stay exact throughout."""
     from nns_tpu.api import NNEngine
-    from nns_tpu.kernels.cell_list import CellCascade
+    from nns_tpu.trees.beam import BeamIndex
 
-    q, r = make_dataset(3, 256, 120_000, seed=6, clustered=True)
+    _, r = make_dataset(3, 1, 120_000, seed=6, clustered=True)
+    rng = np.random.default_rng(7)
+    q = (rng.random((256, 3), dtype=np.float32) * (r.max(0) - r.min(0)) + r.min(0)).astype(np.float32)
     eng = NNEngine(14).build(r)
     idx1 = eng.query(q)
     assert_exact(idx1, q, r)
-    assert isinstance(eng._built, CellCascade)  # promoted after batch 1
-    q2 = np.random.default_rng(77).random((256, 3)).astype(np.float32)
+    assert isinstance(eng._built, BeamIndex)  # promoted after batch 1
+    q2 = (rng.random((256, 3), dtype=np.float32) * (r.max(0) - r.min(0)) + r.min(0)).astype(np.float32)
     idx2 = eng.query(q2)
     assert_exact(idx2, q2, r)
     _, cov = eng._built.query_with_coverage(q2)
     assert cov >= 0.95
+
+
+def test_beam_topk_clustered_matches_oracle():
+    # Exact k-NN through the promoted beam index (the clustered-workload
+    # k-NN path; certificate-gated with chunked-scan fallback).
+    from nns_tpu.trees.beam import octree_beam_index
+    from nns_tpu.trees.octree import Octree
+
+    _, r = make_dataset(3, 1, 50_000, seed=8, clustered=True)
+    rng = np.random.default_rng(9)
+    q = (rng.random((64, 3), dtype=np.float32) * (r.max(0) - r.min(0)) + r.min(0)).astype(np.float32)
+    bi = octree_beam_index(Octree.build(r))
+    d2, idx = bi.query_topk(q, 8)
+    d_oracle = np.sort(
+        np.sum((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2, axis=-1),
+        axis=1,
+    )[:, :8]
+    d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
+    np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-5, atol=1e-9)
+    assert (np.diff(d2, axis=1) >= 0).all()
+    # No duplicate ids within a row (pad replicas must be masked out).
+    for row in idx:
+        assert len(set(row.tolist())) == len(row)
