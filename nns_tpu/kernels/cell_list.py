@@ -50,58 +50,77 @@ _TR = 8192  # halo points per kernel step (R_max is tiled when larger)
 _GB = 8     # supercells per grid step (amortizes per-step fixed costs)
 
 
-def _cell_kernel(q_ref, h_ref, min_ref, pos_ref, *, gb: int):
-    """GB supercells x one halo tile: fused direct distance + carried argmin.
+def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, *, gb: int):
+    """GB supercells x one halo tile: fused direct distance + carried
+    (min, GLOBAL id).
 
     q_ref: (GB, QM, 3) queries; h_ref: (GB, 3, TR) dim-major halo points;
-    outputs (GB, QM, 1) carried (min, position-in-R_max) per supercell."""
+    id_ref: (GB, 1, TR) global reference ids of the halo slots; outputs
+    (GB, QM, 1) carried (min, id) per supercell. Ids are resolved IN the
+    kernel by a one-hot min over the ids block: the tile-position argmin +
+    host-side halo_ids row-gather it replaces cost more than the whole scan
+    (XLA row gathers run ~30 ns/row on v5e)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         min_ref[:] = jnp.full(min_ref.shape, jnp.inf, dtype=jnp.float32)
-        pos_ref[:] = jnp.zeros(pos_ref.shape, dtype=jnp.int32)
+        gid_ref[:] = jnp.zeros(gid_ref.shape, dtype=jnp.int32)
 
     for g in range(gb):
-        q = q_ref[g]   # (QM, 3)
-        h = h_ref[g]   # (3, TR)
+        q = q_ref[g]    # (QM, 3)
+        h = h_ref[g]    # (3, TR)
+        ids = id_ref[g]  # (1, TR)
         qm, tr = q.shape[0], h.shape[1]
         d2 = jnp.zeros((qm, tr), dtype=jnp.float32)
         for d in range(3):
             diff = q[:, d : d + 1] - h[d : d + 1, :]
             d2 = d2 + diff * diff
-        # Tie-break note: the argmin is over halo-slot order (octant-block
-        # order), so among exactly-tied neighbors any true NN may be
-        # returned — exact, but not always the lowest reference index
-        # (that stronger guarantee belongs to the brute-force family).
+        # Tie-break note: among exactly-tied neighbors the smallest global
+        # id in this tile wins and earlier tiles beat later ones — exact,
+        # but not always the lowest reference index overall (that stronger
+        # guarantee belongs to the brute-force family).
         local_min = jnp.min(d2, axis=1, keepdims=True)
-        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
-        local_arg = jnp.min(jnp.where(d2 == local_min, cols, tr), axis=1, keepdims=True)
+        local_gid = jnp.min(
+            jnp.where(d2 == local_min, ids, jnp.int32(1 << 30)),
+            axis=1, keepdims=True,
+        )
         better = local_min < min_ref[g]
-        pos_ref[g] = jnp.where(better, j * tr + local_arg, pos_ref[g])
+        gid_ref[g] = jnp.where(better, local_gid, gid_ref[g])
         min_ref[g] = jnp.where(better, local_min, min_ref[g])
 
 
-def _cell_scan(dense_q, halo_dm, interpret: bool, group_batch: int | None = None):
-    """dense_q: (G, QM, 3); halo_dm: (G, 3, R_max). Returns per-slot
-    (min_d (G, QM, 1), argpos (G, QM, 1))."""
+def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
+               group_batch: int | None = None):
+    """dense_q: (G_total, QM, 3); halo_dm: (G, 3, R_max); halo_ids:
+    (G, R_max). Returns per-slot (min_d (G_total, QM, 1), global id
+    (G_total, QM, 1)). G_total may be W*G for W stacked query batches —
+    the halo block index then wraps so every batch scans the same index."""
     g_total, qm, _ = dense_q.shape
+    halo_groups = halo_dm.shape[0]
     r_max = halo_dm.shape[2]
-    # Bound the (QM, TR) distance tile to ~1M f32 elements of VMEM: shrink
-    # the halo tile when the query block is tall (R_max and qm are powers of
-    # two, so tr always divides r_max).
-    tr = min(_TR, r_max)
-    while qm * tr > (1 << 20) and tr > 512:
+    # Bound the (QM, TR) distance tile to ~1M f32 elements of VMEM: halve
+    # the halo tile while it exceeds the cap or the VMEM bound (halving
+    # r_max always yields a divisor of r_max; R_max is a multiple of 256,
+    # so tr stays lane-aligned).
+    tr = r_max
+    while (tr > _TR or qm * tr > (1 << 20)) and tr % 2 == 0 and tr > 512:
         tr //= 2
     gb = group_batch or _GB
-    if g_total % gb:
+    if g_total % gb or halo_groups % gb:
         gb = 1
+    hg = halo_groups // gb
+    if g_total == halo_groups:
+        h_index = lambda g, j: (g, 0, j)  # noqa: E731
+    else:
+        h_index = lambda g, j: (g % hg, 0, j)  # noqa: E731
     return pl.pallas_call(
         functools.partial(_cell_kernel, gb=gb),
         grid=(g_total // gb, r_max // tr),
         in_specs=[
             pl.BlockSpec((gb, qm, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((gb, 3, tr), lambda g, j: (g, 0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 3, tr), h_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((gb, 1, tr), h_index, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((gb, qm, 1), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
@@ -112,26 +131,21 @@ def _cell_scan(dense_q, halo_dm, interpret: bool, group_batch: int | None = None
             jax.ShapeDtypeStruct((g_total, qm, 1), jnp.int32),
         ),
         interpret=interpret,
-    )(dense_q, halo_dm)
+    )(dense_q, halo_dm, halo_ids[:, None, :])
 
 
-@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
-def _device_query(packed_in, halo_dm, halo_ids, halo2,
-                  q_max: int, g_total: int, interpret: bool,
-                  group_batch: int | None = None):
-    """Fused device path: ONE packed upload (m, 5) f32 [qx, qy, qz, sid, pos]
-    -> scatter into the dense per-supercell tensor, scan kernel, unscatter,
-    global-id lookup -> ONE packed (2, m) i32 result. A single host
-    round-trip each way per batch (remote-tunneled runtimes charge ~10 ms
-    per in-stream upload and ~35 ms per result fetch)."""
+def _query_body(packed_in, halo_dm, halo_ids, halo2,
+                q_max: int, g_total: int, interpret: bool,
+                group_batch: int | None):
+    """One batch: packed (m, 5) f32 [qx, qy, qz, sid, pos] -> scatter into
+    the dense per-supercell tensor, scan kernel, unscatter -> (3, m)."""
     q_sorted = packed_in[:, :3]
     sid_s = packed_in[:, 3].astype(jnp.int32)   # exact for values < 2^24
     pos = packed_in[:, 4].astype(jnp.int32)
     dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
-    dmin, dpos = _cell_scan(dense_q, halo_dm, interpret, group_batch)
+    dmin, dgid = _cell_scan(dense_q, halo_dm, halo_ids, interpret, group_batch)
     d2 = dmin[sid_s, pos, 0]
-    rpos = dpos[sid_s, pos, 0]
-    idx = halo_ids[sid_s, rpos]
+    idx = dgid[sid_s, pos, 0]
     # Certificate soundness, including queries OUTSIDE the data bounding box
     # (their cell index is clipped): every unscanned point B has per-dim
     # gap_d to the query's cell box with sum(gap_d^2) > halo^2, and for each
@@ -144,9 +158,37 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
     # (n <= 16.7M — the engine asserts this at build). best_d2 is the
     # upper bound on the true NN distance whenever the halo set was nonempty
     # (inf otherwise) — adaptive consumers size structures from it.
-    return jnp.stack(
-        [idx.astype(jnp.float32), ok.astype(jnp.float32), d2]
-    )  # (3, m), in sorted order
+    return jnp.stack([idx.astype(jnp.float32), ok.astype(jnp.float32), d2])
+
+
+@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
+def _device_query(packed_in, halo_dm, halo_ids, halo2,
+                  q_max: int, g_total: int, interpret: bool,
+                  group_batch: int | None = None):
+    """Fused device path for ONE batch: a single host round-trip each way
+    (remote-tunneled runtimes charge ~10 ms per in-stream upload and ~35 ms
+    per result fetch)."""
+    return _query_body(packed_in, halo_dm, halo_ids, halo2,
+                       q_max, g_total, interpret, group_batch)
+
+
+@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
+def _device_query_queue(pstack, halo_dm, halo_ids, halo2,
+                        q_max: int, g_total: int, interpret: bool,
+                        group_batch: int | None = None):
+    """W staged batches in ONE dispatch: pstack (W, m, 5) -> (W, 3, m).
+    Dispatch overhead through a remote tunnel is ~1 ms regardless of program
+    size (measured: the scan kernel alone runs 0.45 ms but a chained
+    single-batch dispatch never beats ~2 ms), so a serving queue drains W
+    accumulated batches per program. The body is UNROLLED: a lax.scan
+    formulation re-stages the loop-invariant halo tensors per iteration and
+    measured ~15% slower."""
+    outs = [
+        _query_body(pstack[w], halo_dm, halo_ids, halo2,
+                    q_max, g_total, interpret, group_batch)
+        for w in range(pstack.shape[0])
+    ]
+    return jnp.stack(outs)
 
 
 @functools.partial(jax.jit, static_argnames=("k_nn", "q_max", "g_total", "interpret"))
@@ -234,10 +276,14 @@ class CellListEngine:
         self.D = d_per_dim
         self.W = (extent / self.D).astype(np.float64)  # per-dim supercell width
         if halo is None:
-            # ~4x the expected NN distance for uniform density in this box:
-            # P(NN > halo) ~ exp(-n * (4/3) pi halo^3 / V) — negligible.
+            # halo = c * (V/n)^(1/3) trades certificate coverage against
+            # scan width: P(NN > halo) = exp(-(4/3)pi c^3) per uniform
+            # query. c = 1.5 gives P ~ 7e-7 (one fallback per ~140 batches
+            # of 10K) while carrying ~40% fewer halo candidates per cell
+            # than the previous c = 2.5 (P ~ e-65 — certainty overkill that
+            # cost real kernel time every batch).
             volume = float(np.prod(extent))
-            halo = 4.0 * (volume / max(n, 1)) ** (1.0 / 3.0) / 1.6
+            halo = 1.5 * (volume / max(n, 1)) ** (1.0 / 3.0)
         # Build-cost bound: membership enumeration spans ceil(2*halo/W) + 1
         # cells per dim, so halo is capped at one cell width (<= 3 cells per
         # dim, <= 27 memberships per point). A larger requested halo is
@@ -334,7 +380,9 @@ class CellListEngine:
                 f"supercell halo overflow (R_max={r_max}): data too clustered "
                 "for the cell-list engine — use the fused kernel or octree"
             )
-        self.R_max = _pow2_at_least(max(r_max, 128))
+        # Round to 256 slots, not pow2 (see native_cells_build): the scan
+        # pays R_max for every group.
+        self.R_max = max(256, -(-r_max // 256) * 256)
         starts = np.concatenate([[0], np.cumsum(counts)])
         halo_pts = np.full((G, self.R_max, 3), PAD_SENTINEL, dtype=np.float32)
         halo_ids = np.zeros((G, self.R_max), dtype=np.int32)
@@ -388,6 +436,31 @@ class CellListEngine:
         (numpy or device-resident). Returns the packed (2, m) device array."""
         return _device_query(
             jnp.asarray(packed), self.halo_dm, self.halo_ids_dev,
+            jnp.float32(self.halo) ** 2,
+            q_max, self.D ** 3, _interpret(), group_batch,
+        )
+
+    def stage_queue(self, batches):
+        """Queue-form staging: bucket several query batches on host and pack
+        them into one (W, m, 5) upload (all batches must share m). Returns
+        (pstack, orders, q_max) — pstack is None when any batch is too
+        skewed for the dense kernel (caller uses per-batch submit instead)."""
+        packs, orders, q_maxes = [], [], []
+        for qb in batches:
+            packed, order, q_max = self.stage(qb)
+            if packed is None:
+                return None, None, None
+            packs.append(packed)
+            orders.append(order)
+            q_maxes.append(q_max)
+        return np.stack(packs), orders, max(q_maxes)
+
+    def query_queue_staged(self, pstack, q_max: int,
+                           group_batch: int | None = None):
+        """Device half of the queue path: W staged batches, one dispatch
+        (see _device_query_queue). Returns the (W, 3, m) device array."""
+        return _device_query_queue(
+            jnp.asarray(pstack), self.halo_dm, self.halo_ids_dev,
             jnp.float32(self.halo) ** 2,
             q_max, self.D ** 3, _interpret(), group_batch,
         )

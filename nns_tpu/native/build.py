@@ -201,9 +201,10 @@ def native_cells_build(refs: np.ndarray, d_per_dim: int, halo: float,
     r_max = int(counts.max()) if G else 0
     if r_max > r_cap:
         return None, None, counts  # overflow: caller raises like numpy path
-    size = 128
-    while size < r_max:
-        size *= 2
+    # Round to 256 slots, not pow2: the kernel scans R_max slots for EVERY
+    # group, and halo-count distributions are tight (max/median ~1.1), so
+    # pow2 snapping (e.g. 1146 -> 2048) nearly doubles the scan work.
+    size = max(256, -(-r_max // 256) * 256)
     halo_dm = np.full((G, 3, size), sentinel, dtype=np.float32)
     halo_ids = np.zeros((G, size), dtype=np.int32)
     ok = lib.nns_cells_fill(

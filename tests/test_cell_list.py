@@ -210,3 +210,22 @@ def test_beam_topk_clustered_matches_oracle():
     # No duplicate ids within a row (pad replicas must be masked out).
     for row in idx:
         assert len(set(row.tolist())) == len(row)
+
+
+def test_query_queue_matches_single_batch():
+    # The W-batch queue dispatch must agree exactly with per-batch queries.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(30)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+    batches = [rng.random((500, 3), dtype=np.float32) for _ in range(3)]
+    pstack, orders, q_max = eng.stage_queue(batches)
+    out = np.asarray(eng.query_queue_staged(pstack, q_max))
+    for w, qb in enumerate(batches):
+        idx_q = out[w][0]
+        inv = np.empty(500, np.int64)
+        inv[orders[w]] = np.arange(500)
+        idx_single, ok_single = eng.query_with_flags(qb)
+        np.testing.assert_array_equal(idx_q[inv].astype(np.int32), idx_single)
+        assert_exact(idx_q[inv][ok_single].astype(np.int32), qb[ok_single], r)
