@@ -44,7 +44,6 @@ def main() -> int:
     from nns_tpu.data import make_dataset
     from nns_tpu.kernels.oracle import linear_scan, recall_at_1
     from nns_tpu.kernels.cell_list import CellListEngine
-    from nns_tpu.kernels.topk import nns_topk
     from nns_tpu.trees.kdtree import KDTree
     from nns_tpu.trees.octree import Octree
 
@@ -93,11 +92,11 @@ def main() -> int:
     t0 = time.perf_counter()
     eng = CellListEngine(r)
     build = time.perf_counter() - t0
-    packed, order, qmx = eng.stage(q)
-    dv = jax.device_put(packed)
-    _ = _fetch(eng.query_staged(dv, qmx))
-    W = 16
-    t, _ = timed(lambda: _fetch([eng.query_staged(dv, qmx) for _ in range(W)][-1]))
+    W = 8
+    pstack, orders, qmx = eng.stage_queue([q] * W)
+    dv = jax.device_put(pstack)
+    _ = _fetch(eng.query_queue_staged(dv, qmx))
+    t, _ = timed(lambda: _fetch(eng.query_queue_staged(dv, qmx)), reps=6)
     t /= W
     idx, ok = eng.query_with_flags(q)
     rec = recall_at_1(idx[sub], q[sub], r)
@@ -124,11 +123,61 @@ def main() -> int:
             f"| {2048/t:,.0f} qps | {rec} |"
         )
     else:
+        # Single real chip: measure the 4M workload on-chip through the
+        # supercell engine (HBM holds it comfortably), then the 8-way
+        # sharded path on the virtual CPU mesh in a subprocess.
+        q3, r3 = make_dataset(3, 10_000, 4_000_000, 1000)
+        t0 = time.perf_counter()
+        eng3 = CellListEngine(r3)
+        build3 = time.perf_counter() - t0
+        W = 8
+        pstack3, _, qmx3 = eng3.stage_queue([q3] * W)
+        dv3 = jax.device_put(pstack3)
+        _ = _fetch(eng3.query_queue_staged(dv3, qmx3))
+        t, _ = timed(lambda: _fetch(eng3.query_queue_staged(dv3, qmx3)), reps=6)
+        t /= W
+        idx3, ok3 = eng3.query_with_flags(q3)
+        sub3 = rng.choice(10_000, 256, replace=False)
+        rec = recall_at_1(np.asarray(idx3)[sub3], q3[sub3], r3)
         lines.append(
-            "| 3 | sharded brute force 4M refs | - | - | (1 real chip attached; "
-            "validated on the virtual 8-device mesh: tests/test_sharded.py, "
-            "__graft_entry__.dryrun_multichip) | 1.0 (virtual mesh) |"
+            f"| 3 | supercell 4M refs x 10K queries, 1 real chip | {build3*1e3:.0f} ms "
+            f"| {t*1e3:.2f} ms | {10_000/t:,.0f} qps | {rec} "
+            f"(certificate: {bool(np.asarray(ok3).all())}) |"
         )
+        print(lines[-1], flush=True)
+        import subprocess
+        snippet = (
+            "import time, numpy as np, jax;"
+            "from nns_tpu.data import make_dataset;"
+            "from nns_tpu.parallel.mesh import make_mesh;"
+            "from nns_tpu.parallel.sharded import sharded_argmin;"
+            "from nns_tpu.kernels.oracle import recall_at_1;"
+            "q, r = make_dataset(3, 512, 4_000_000, 1000);"
+            "mesh = make_mesh(8);"
+            "_ = np.asarray(sharded_argmin(q, r, mesh));"
+            "t0 = time.perf_counter();"
+            "idx = np.asarray(sharded_argmin(q, r, mesh));"
+            "t = time.perf_counter() - t0;"
+            "rec = recall_at_1(idx[:128], q[:128], r);"
+            "print(f'MESH {t:.3f} {rec}')"
+        )
+        env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+                   XLA_FLAGS="--xla_force_host_platform_device_count=8")
+        out3 = subprocess.run([sys.executable, "-c", snippet], env=env,
+                              capture_output=True, text=True, cwd=os.path.dirname(
+                                  os.path.dirname(os.path.abspath(__file__))))
+        tok = [l for l in out3.stdout.splitlines() if l.startswith("MESH")]
+        if tok:
+            _, t_m, rec_m = tok[0].split()
+            lines.append(
+                f"| 3b | sharded brute force 4M refs x 512 queries, 8-way VIRTUAL "
+                f"CPU mesh (correctness dryrun, not a perf surface) | - "
+                f"| {float(t_m)*1e3:.0f} ms | {512/float(t_m):,.0f} qps | {rec_m} |"
+            )
+        else:
+            lines.append(
+                f"| 3b | sharded 4M virtual-mesh dryrun FAILED: {out3.stderr[-200:]} | - | - | - | - |"
+            )
     print(lines[-1], flush=True)
 
     # 4. KD-tree build + batched device query, 1M refs
@@ -162,11 +211,20 @@ def main() -> int:
     )
     print(lines[-1], flush=True)
 
-    _ = nns_topk(q5[:256], r5, 8)
-    t, (d8, i8) = timed(lambda: nns_topk(q5[:2048], r5, 8), reps=2)
+    # 5b. exact k=8 NN on the clustered set through the octree beam index
+    # (the adaptive-depth index NNEngine promotes to on clustered data);
+    # certificate-gated with exact top-k fallback.
+    bi5 = ot.device_index()
+    _ = bi5.query_topk(q5[:512], 8)
+    t, (d8, i8) = timed(lambda: bi5.query_topk(q5[:10_000], 8), reps=3)
+    do = np.sort(np.sum((q5[sub5][:, None].astype(np.float64)
+                         - r5[None].astype(np.float64)) ** 2, -1), axis=1)[:, :8]
+    ours = np.sort(np.sum((q5[sub5][:, None].astype(np.float64)
+                           - r5[i8[sub5]].astype(np.float64)) ** 2, -1), axis=1)
+    exact8 = bool(np.allclose(ours, do, rtol=1e-5, atol=1e-9))
     lines.append(
-        f"| 5b | exact k=8 NN, 1M clustered refs (2048 queries, top-k engine) "
-        f"| - | {t*1e3:.0f} ms | {2048/t:,.0f} qps | exact top-8 |"
+        f"| 5b | exact k=8 NN, 1M clustered refs (10K queries, octree beam index) "
+        f"| - | {t*1e3:.0f} ms | {10_000/t:,.0f} qps | top-8 exact: {exact8} |"
     )
     print(lines[-1], flush=True)
 
