@@ -229,3 +229,24 @@ def test_query_queue_matches_single_batch():
         idx_single, ok_single = eng.query_with_flags(qb)
         np.testing.assert_array_equal(idx_q[inv].astype(np.int32), idx_single)
         assert_exact(idx_q[inv][ok_single].astype(np.int32), qb[ok_single], r)
+
+
+def test_beam_checkpoint_roundtrip(tmp_path):
+    # A clustered-promoted v14 engine must checkpoint as a beam index and
+    # load back through NNEngine.load's format sniffing.
+    from nns_tpu.api import NNEngine
+    from nns_tpu.trees.beam import BeamIndex
+
+    _, r = make_dataset(3, 1, 120_000, seed=9, clustered=True)
+    rng = np.random.default_rng(11)
+    q = (rng.random((128, 3), dtype=np.float32) * (r.max(0) - r.min(0)) + r.min(0)).astype(np.float32)
+    eng = NNEngine(14).build(r)
+    idx1 = eng.query(q)           # promotes to BeamIndex
+    assert isinstance(eng._built, BeamIndex)
+    path = str(tmp_path / "v14_beam.npz")
+    eng.save(path)
+    eng2 = NNEngine.load(path, version=14)
+    assert isinstance(eng2._built, BeamIndex)
+    idx2 = eng2.query(q)
+    np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
+    assert_exact(idx2, q, r)
