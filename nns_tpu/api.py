@@ -353,6 +353,23 @@ class NNEngine:
                 return _as_idx(self._built.query_device(queries))
         return self.spec(queries, self._refs, self.config)
 
+    def query_many(self, batches) -> list[np.ndarray]:
+        """Exact answers for several equal-sized query batches. With a built
+        supercell index the whole queue drains in ONE device dispatch
+        (CellListEngine.query_queue) — the serving path bench.py measures;
+        other engines answer per batch."""
+        if self._refs is None:
+            raise RuntimeError("call build(refs) first")
+        from nns_tpu.kernels.cell_list import CellListEngine
+
+        batches = [np.atleast_2d(np.asarray(b, dtype=np.float32)) for b in batches]
+        if (
+            isinstance(self._built, CellListEngine)
+            and len({b.shape for b in batches}) == 1
+        ):
+            return [_as_idx(i) for i in self._built.query_queue(batches)]
+        return [self.query(b) for b in batches]
+
     def query_topk(self, queries, k_nn: int = 8):
         """Exact k-NN: (dist2[m, k], idx[m, k]) ascending. Uses the built
         supercell index when available (certificate-gated), else the exact

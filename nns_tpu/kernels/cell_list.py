@@ -465,6 +465,33 @@ class CellListEngine:
             q_max, self.D ** 3, _interpret(), group_batch,
         )
 
+    def query_queue(self, batches) -> list[np.ndarray]:
+        """EXACT answers for several equal-sized query batches in one device
+        dispatch (the serving queue-drain path: ~1 ms of per-dispatch
+        overhead amortizes across the whole queue). Uncertified queries in
+        any batch fall back to the exact scan; a too-skewed queue falls
+        back to per-batch querying."""
+        pstack, orders, q_max = self.stage_queue(batches)
+        if pstack is None:
+            return [self.query(qb) for qb in batches]
+        out = np.asarray(self.query_queue_staged(pstack, q_max))
+        results = []
+        for w, qb in enumerate(batches):
+            m = len(orders[w])
+            inv = np.empty(m, dtype=np.int64)
+            inv[orders[w]] = np.arange(m)
+            idx = out[w][0][inv].astype(np.int32)
+            ok = out[w][1][inv].astype(bool)
+            if not ok.all():
+                from nns_tpu.kernels.pallas_fused import fused_fallback
+
+                bad = np.flatnonzero(~ok)
+                idx[bad] = np.asarray(fused_fallback(
+                    np.ascontiguousarray(qb, dtype=np.float32)[bad], self.refs
+                ))
+            results.append(idx)
+        return results
+
     def query_submit(self, queries: np.ndarray):
         """Asynchronous half: host bucketing + device dispatch. Returns a
         token for ``query_collect``; several tokens may be in flight, so a

@@ -158,3 +158,16 @@ def test_engine_small_batches_do_not_demote_good_coverage():
         assert_exact(eng.query(far), far, r)   # cov=0, m=1
         assert_exact(eng.query(good), good, r)  # cov~1 resets history
     assert isinstance(eng._built, (CellListEngine, BeamIndex))
+
+
+def test_engine_query_many_queue_drain():
+    # Several batches answered in one queue dispatch must equal per-batch
+    # answers and stay exact.
+    rng = np.random.default_rng(31)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    batches = [rng.random((300, 3), dtype=np.float32) for _ in range(3)]
+    many = eng.query_many(batches)
+    for qb, idx in zip(batches, many):
+        np.testing.assert_array_equal(idx, eng.query(qb))
+        assert_exact(idx, qb, r)
