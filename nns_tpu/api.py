@@ -287,6 +287,12 @@ class NNEngine:
             self._built = FusedBruteForce(
                 refs, tile_m=self.config.tile_m, tile_n=self.config.tile_n
             )
+        elif self.spec.num == 9 and refs.shape[1] >= 8:
+            # v9's split-bf16 staging (triple split + transpose + device
+            # placement) is the expensive half — prepare it once.
+            from nns_tpu.kernels.mxu_expansion import MXUExpansion
+
+            self._built = MXUExpansion(refs, tile_m=self.config.tile_m)
         else:
             import jax
 
@@ -303,7 +309,7 @@ class NNEngine:
                 f"dimension mismatch: queries k={queries.shape[1]}, "
                 f"refs k={self._refs.shape[1]}"
             )
-        if self.spec.num == 4 and self._built is not None:
+        if self.spec.num in (4, 9) and self._built is not None:
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:
