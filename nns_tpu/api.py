@@ -266,12 +266,19 @@ class NNEngine:
                     from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
                     self._built = FusedBruteForce(refs)
-            elif self.spec.num in (10, 11) and refs.shape[1] <= self.config.kd_max_k:
+            elif self.spec.num == 10 and refs.shape[1] <= self.config.kd_max_k:
                 from nns_tpu.trees.kdtree import KDTree
 
                 self._built = KDTree.build(refs)
-                if self.spec.num == 11 and refs.shape[1] <= 6:
-                    self._built.device_index()  # stage the beam frontier now
+            elif self.spec.num == 11 and refs.shape[1] <= 6:
+                # The device KD path only pays below ~7 dims (higher k
+                # degenerates toward a full scan — nns_kdtree_device routes
+                # it to the fused kernel, and so does the unbuilt fallback
+                # below); stage the beam frontier now.
+                from nns_tpu.trees.kdtree import KDTree
+
+                self._built = KDTree.build(refs)
+                self._built.device_index()
             elif self.spec.num in (12, 13) and refs.shape[1] == self.config.octree_k:
                 from nns_tpu.trees.octree import Octree
 

@@ -104,6 +104,16 @@ def run_one(
 
 
 def run(cfg: BenchConfig, verbose: bool = True) -> list[RunRecord]:
+    # Backend warm-up before anything is timed (the reference's pre-main
+    # WarmUP analog, core.cu:1900-1933): without it the FIRST config's
+    # build_ms absorbs ~10 s of device/runtime initialization.
+    import jax
+    import jax.numpy as jnp
+
+    from nns_tpu.utils.timing import warmup
+
+    warmup(lambda: jnp.ones((8, 128)) * 2.0)
+
     writer = ReportWriter(cfg.jsonl_path)
     try:
         for version in cfg.versions:
