@@ -49,6 +49,10 @@ class BenchConfig:
     # Timed repetitions; report the minimum (the reference times a single run).
     timing_iters: int = 3
     check_recall: bool = True
+    # Reference-point distribution: uniform (the reference's rand() data,
+    # main.cu:10-35) or clustered Gaussian mixtures (BASELINE config 5's
+    # domain; queries stay uniform over the data box either way).
+    clustered: bool = False
     # Max queries to verify against the f64 oracle per config (full check when
     # m is small; subsample for huge m to bound oracle cost).
     recall_check_queries: int = 4096

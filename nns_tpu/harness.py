@@ -45,12 +45,13 @@ SMALL_GRID = (
 _oracle_cache: dict = {}
 
 
-def _oracle_for(k: int, m: int, n: int, seed: int, cap: int):
+def _oracle_for(k: int, m: int, n: int, seed: int, cap: int,
+                clustered: bool = False):
     """Cached oracle minima for a (config, seed), on a query subsample sized
     to bound the f64 scan cost."""
-    key = (k, m, n, seed, cap)
+    key = (k, m, n, seed, cap, clustered)
     if key not in _oracle_cache:
-        queries, refs = make_dataset(k, m, n, seed)
+        queries, refs = make_dataset(k, m, n, seed, clustered=clustered)
         budget = max(1, min(m, cap, (1 << 28) // max(n, 1)))
         sub = (
             np.arange(m)
@@ -69,7 +70,7 @@ def run_one(
     n: int,
     cfg: BenchConfig,
 ) -> RunRecord:
-    queries, refs = make_dataset(k, m, n, cfg.seed)
+    queries, refs = make_dataset(k, m, n, cfg.seed, clustered=cfg.clustered)
     engine = NNEngine(version)
 
     t0 = now_ns()
@@ -88,7 +89,9 @@ def run_one(
 
     recall = None
     if cfg.check_recall:
-        sub, dmin = _oracle_for(k, m, n, cfg.seed, cfg.recall_check_queries)
+        sub, dmin = _oracle_for(
+            k, m, n, cfg.seed, cfg.recall_check_queries, cfg.clustered
+        )
         recall = recall_at_1(np.asarray(idx)[sub], queries[sub], refs, oracle_dmin=dmin)
 
     return RunRecord(
@@ -143,6 +146,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--no-recall", action="store_true", help="skip oracle recall check")
+    p.add_argument(
+        "--clustered", action="store_true",
+        help="clustered Gaussian-mixture reference points (BASELINE config 5 domain)",
+    )
     p.add_argument("--jsonl", default=None, help="append structured records to this JSONL file")
     p.add_argument(
         "--profile-dir", default=None,
@@ -164,6 +171,7 @@ def main(argv: list[str] | None = None) -> int:
         warmup_iters=args.warmup,
         timing_iters=args.iters,
         check_recall=not args.no_recall,
+        clustered=args.clustered,
         jsonl_path=args.jsonl,
     )
     if args.profile_dir:

@@ -45,3 +45,15 @@ def test_cli_small(capsys):
     out = capsys.readouterr().out
     assert rc == 0
     assert "fused" in out and "cpu_scan" in out
+
+
+def test_harness_clustered_distribution():
+    from nns_tpu.config import BenchConfig
+    from nns_tpu.harness import run
+
+    cfg = BenchConfig(
+        versions=(12, 14), grid=((3, 64, 4096),), clustered=True,
+        warmup_iters=0, timing_iters=1,
+    )
+    recs = run(cfg, verbose=False)
+    assert all(r.recall_at_1 == 1.0 for r in recs)
