@@ -63,3 +63,52 @@ def test_best_mesh_degenerate_tiny_n():
     # Fewer reference points than devices must not produce empty shards.
     mesh = best_mesh(3)
     assert mesh.devices.size <= 3
+
+
+# -- ring variant (parallel/ring.py) ----------------------------------------
+
+
+def test_ring_matches_oracle_and_allgather():
+    import jax
+    from nns_tpu.parallel.mesh import make_mesh
+    from nns_tpu.parallel.ring import ring_argmin
+    from nns_tpu.parallel.sharded import sharded_argmin
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    q, r = make_dataset(3, 64, 8 * 256, seed=41)
+    idx_ring = np.asarray(ring_argmin(q, r, mesh, tile_m=64, tile_n=128))
+    idx_ag = np.asarray(sharded_argmin(q, r, mesh, tile_m=64, tile_n=128))
+    # Both paths guarantee the lowest-index tie-break -> exact array equality.
+    np.testing.assert_array_equal(idx_ring, idx_ag)
+    assert_exact(idx_ring, q, r)
+
+
+def test_ring_duplicate_tiebreak_lowest_global_index():
+    import jax
+    from nns_tpu.parallel.mesh import make_mesh
+    from nns_tpu.parallel.ring import ring_argmin
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(42)
+    base = rng.random((256, 3), dtype=np.float32)
+    r = np.tile(base, (8, 1))  # every point duplicated on every shard
+    q = base[:32] + np.float32(1e-5)
+    idx = np.asarray(ring_argmin(q, r, mesh, tile_m=64, tile_n=128))
+    # The winner must be the FIRST copy (shard 0's), regardless of which
+    # ring step saw it first.
+    d = np.sum((q[:, None].astype(np.float64) - r[None].astype(np.float64)) ** 2, -1)
+    dmin = d.min(axis=1)
+    for i in range(len(q)):
+        ties = np.flatnonzero(d[i] <= dmin[i] * (1 + 1e-12) + 1e-18)
+        assert idx[i] == ties.min()
+
+
+def test_ring_uneven_pad_and_single_device_fallback():
+    from nns_tpu.parallel.ring import nns_ring
+
+    q, r = make_dataset(3, 33, 777, seed=43)  # padding on both axes
+    assert_exact(np.asarray(nns_ring(q, r)), q, r)
