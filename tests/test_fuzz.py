@@ -93,3 +93,24 @@ def test_fuzz_topk_exact(case_seed):
     )[:, :kc]
     d_ours = np.sum((q[:, None, :].astype(np.float64) - r[idx].astype(np.float64)) ** 2, axis=-1)
     np.testing.assert_allclose(np.sort(d_ours, axis=1), d_oracle, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("case_seed", range(3))
+def test_fuzz_ring_random_shapes(case_seed):
+    """Ring-sharded path over random shapes/dims: must match the all-gather
+    sharded path exactly (both lowest-index) and the f64 oracle."""
+    import jax
+
+    from nns_tpu.parallel.mesh import make_mesh
+    from nns_tpu.parallel.ring import ring_argmin
+    from nns_tpu.parallel.sharded import sharded_argmin
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(3000 + case_seed)
+    q, r = _random_case(rng)
+    mesh = make_mesh(8)
+    idx_ring = np.asarray(ring_argmin(q, r, mesh, tile_m=64, tile_n=128))
+    idx_ag = np.asarray(sharded_argmin(q, r, mesh, tile_m=64, tile_n=128))
+    np.testing.assert_array_equal(idx_ring, idx_ag)
+    assert_exact(idx_ring, q, r)
