@@ -73,21 +73,22 @@ def main() -> int:
         for _ in range(W - 1)
     ]
     QW = 8  # batches per queue dispatch
-    pstack, orders, q_max = engine.stage_queue(batches)
-    assert pstack is not None, "benchmark batch unexpectedly exceeded q_max_limit"
+    dstack, fstack, orders = engine.stage_queue(batches)
+    assert dstack is not None, "benchmark batch unexpectedly exceeded q_max_limit"
     queues = [
-        jax.device_put(pstack[i : i + QW]) for i in range(0, W, QW)
+        (jax.device_put(dstack[i : i + QW]), jax.device_put(fstack[i : i + QW]))
+        for i in range(0, W, QW)
     ]
     jax.block_until_ready(queues)
 
     # Warm-up: compile + settle; also the correctness batch.
     idx0, ok0 = engine.query_with_flags(queries)
-    _ = np.asarray(engine.query_queue_staged(queues[0], q_max))
+    _ = np.asarray(engine.query_queue_staged(*queues[0]))
 
     best = float("inf")
     for _ in range(10):  # tunnel latency is noisy; take the best trial
         t0 = time.perf_counter()
-        outs = [engine.query_queue_staged(qs, q_max) for qs in queues]
+        outs = [engine.query_queue_staged(d, f) for d, f in queues]
         _ = np.asarray(outs[-1])
         best = min(best, (time.perf_counter() - t0) / W)
     qps = N_QUERIES / best

@@ -93,10 +93,10 @@ def main() -> int:
     eng = CellListEngine(r)
     build = time.perf_counter() - t0
     W = 8
-    pstack, orders, qmx = eng.stage_queue([q] * W)
-    dv = jax.device_put(pstack)
-    _ = _fetch(eng.query_queue_staged(dv, qmx))
-    t, _ = timed(lambda: _fetch(eng.query_queue_staged(dv, qmx)), reps=6)
+    dstk, fstk, orders = eng.stage_queue([q] * W)
+    dv, fv = jax.device_put(dstk), jax.device_put(fstk)
+    _ = _fetch(eng.query_queue_staged(dv, fv))
+    t, _ = timed(lambda: _fetch(eng.query_queue_staged(dv, fv)), reps=6)
     t /= W
     idx, ok = eng.query_with_flags(q)
     rec = recall_at_1(idx[sub], q[sub], r)
@@ -131,10 +131,10 @@ def main() -> int:
         eng3 = CellListEngine(r3)
         build3 = time.perf_counter() - t0
         W = 8
-        pstack3, _, qmx3 = eng3.stage_queue([q3] * W)
-        dv3 = jax.device_put(pstack3)
-        _ = _fetch(eng3.query_queue_staged(dv3, qmx3))
-        t, _ = timed(lambda: _fetch(eng3.query_queue_staged(dv3, qmx3)), reps=6)
+        dstk3, fstk3, _ = eng3.stage_queue([q3] * W)
+        dv3, fv3 = jax.device_put(dstk3), jax.device_put(fstk3)
+        _ = _fetch(eng3.query_queue_staged(dv3, fv3))
+        t, _ = timed(lambda: _fetch(eng3.query_queue_staged(dv3, fv3)), reps=6)
         t /= W
         idx3, ok3 = eng3.query_with_flags(q3)
         sub3 = rng.choice(10_000, 256, replace=False)

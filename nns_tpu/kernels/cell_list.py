@@ -172,22 +172,26 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
                        q_max, g_total, interpret, group_batch)
 
 
-@functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
-def _device_query_queue(pstack, halo_dm, halo_ids, halo2,
-                        q_max: int, g_total: int, interpret: bool,
-                        group_batch: int | None = None):
-    """W staged batches in ONE dispatch: pstack (W, m, 5) -> (W, 3, m).
-    Dispatch overhead through a remote tunnel is ~1 ms regardless of program
-    size (measured: the scan kernel alone runs 0.45 ms but a chained
-    single-batch dispatch never beats ~2 ms), so a serving queue drains W
-    accumulated batches per program. The body is UNROLLED: a lax.scan
-    formulation re-stages the loop-invariant halo tensors per iteration and
-    measured ~15% slower."""
-    outs = [
-        _query_body(pstack[w], halo_dm, halo_ids, halo2,
-                    q_max, g_total, interpret, group_batch)
-        for w in range(pstack.shape[0])
-    ]
+@functools.partial(jax.jit, static_argnames=("interpret", "group_batch"))
+def _device_query_queue(dstack, fstack, halo_dm, halo_ids, halo2,
+                        interpret: bool, group_batch: int | None = None):
+    """W staged batches in ONE dispatch: dstack (W, G, QM, 3) dense query
+    tensors built on the HOST at staging time, fstack (W, m) flat winner
+    slots -> (W, 3, m). Dispatch overhead through a remote tunnel is ~1 ms
+    regardless of program size (measured: the scan kernel alone runs
+    0.45 ms but a chained single-batch dispatch never beats ~2 ms), so a
+    serving queue drains W accumulated batches per program. Per batch the
+    device does the scan plus ONE packed (m, 2) gather — no scatter (host
+    staging replaces it; measured ~10% over the in-jit scatter form). The
+    body is UNROLLED: a lax.scan formulation re-stages the loop-invariant
+    halo tensors per iteration and measured ~15% slower."""
+    outs = []
+    for w in range(dstack.shape[0]):
+        dmin, dgid = _cell_scan(dstack[w], halo_dm, halo_ids, interpret, group_batch)
+        packed2 = jnp.concatenate([dmin, dgid.astype(jnp.float32)], axis=2)
+        got = packed2.reshape(-1, 2)[fstack[w]]   # ids exact as f32 < 2^24
+        d2 = got[:, 0]
+        outs.append(jnp.stack([got[:, 1], (d2 <= halo2).astype(jnp.float32), d2]))
     return jnp.stack(outs)
 
 
@@ -441,10 +445,12 @@ class CellListEngine:
         )
 
     def stage_queue(self, batches):
-        """Queue-form staging: bucket several query batches on host and pack
-        them into one (W, m, 5) upload (all batches must share m). Returns
-        (pstack, orders, q_max) — pstack is None when any batch is too
-        skewed for the dense kernel (caller uses per-batch submit instead)."""
+        """Queue-form staging: bucket several equal-sized query batches on
+        host straight into dense per-supercell tensors plus flat winner
+        slots (the device then does no scatter at all). Returns
+        (dstack (W, G, QM, 3), fstack (W, m), orders) — dstack is None when
+        any batch is too skewed for the dense kernel (caller queries per
+        batch instead)."""
         packs, orders, q_maxes = [], [], []
         for qb in batches:
             packed, order, q_max = self.stage(qb)
@@ -453,16 +459,26 @@ class CellListEngine:
             packs.append(packed)
             orders.append(order)
             q_maxes.append(q_max)
-        return np.stack(packs), orders, max(q_maxes)
+        q_max = max(q_maxes)
+        g_total = self.D ** 3
+        denses, flats = [], []
+        for packed in packs:
+            sid = packed[:, 3].astype(np.int64)
+            pos = packed[:, 4].astype(np.int64)
+            dense = np.zeros((g_total, q_max, 3), np.float32)
+            dense[sid, pos] = packed[:, :3]
+            denses.append(dense)
+            flats.append((sid * q_max + pos).astype(np.int32))
+        return np.stack(denses), np.stack(flats), orders
 
-    def query_queue_staged(self, pstack, q_max: int,
+    def query_queue_staged(self, dstack, fstack,
                            group_batch: int | None = None):
         """Device half of the queue path: W staged batches, one dispatch
         (see _device_query_queue). Returns the (W, 3, m) device array."""
         return _device_query_queue(
-            jnp.asarray(pstack), self.halo_dm, self.halo_ids_dev,
-            jnp.float32(self.halo) ** 2,
-            q_max, self.D ** 3, _interpret(), group_batch,
+            jnp.asarray(dstack), jnp.asarray(fstack),
+            self.halo_dm, self.halo_ids_dev,
+            jnp.float32(self.halo) ** 2, _interpret(), group_batch,
         )
 
     def query_queue(self, batches) -> list[np.ndarray]:
@@ -471,10 +487,10 @@ class CellListEngine:
         overhead amortizes across the whole queue). Uncertified queries in
         any batch fall back to the exact scan; a too-skewed queue falls
         back to per-batch querying."""
-        pstack, orders, q_max = self.stage_queue(batches)
-        if pstack is None:
+        dstack, fstack, orders = self.stage_queue(batches)
+        if dstack is None:
             return [self.query(qb) for qb in batches]
-        out = np.asarray(self.query_queue_staged(pstack, q_max))
+        out = np.asarray(self.query_queue_staged(dstack, fstack))
         results = []
         for w, qb in enumerate(batches):
             m = len(orders[w])

@@ -220,8 +220,8 @@ def test_query_queue_matches_single_batch():
     r = rng.random((32768, 3), dtype=np.float32)
     eng = CellListEngine(r)
     batches = [rng.random((500, 3), dtype=np.float32) for _ in range(3)]
-    pstack, orders, q_max = eng.stage_queue(batches)
-    out = np.asarray(eng.query_queue_staged(pstack, q_max))
+    dstack, fstack, orders = eng.stage_queue(batches)
+    out = np.asarray(eng.query_queue_staged(dstack, fstack))
     for w, qb in enumerate(batches):
         idx_q = out[w][0]
         inv = np.empty(500, np.int64)
