@@ -1,4 +1,4 @@
-"""Uniform public API + the 14-version registry.
+"""Uniform public API + the version registry (ladder v0..v13 + v14 flagship).
 
 Reference analog: the single shared signature `vN::cudaCall(k, m, n,
 s_points, r_points, results)` (core.cu:23-29) and the 14-way dispatch table
