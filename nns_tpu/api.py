@@ -156,9 +156,9 @@ _SPECS = [
     VersionSpec(8, "sharded", "sharded", _v8, "refs sharded over mesh, ICI argmin merge (v8, 4-GPU analog)"),
     VersionSpec(9, "mxu_expansion", "bruteforce", _v9, "split-bf16 MXU expansion + band certificate + exact refine (v9, best-brute-force analog)"),
     VersionSpec(10, "kdtree_host", "tree", _v10, "KD-tree host build + host query (v10)"),
-    VersionSpec(11, "kdtree_device", "tree", _v11, "KD-tree host build + batched device traversal (v11 — actually runs, unlike core.cu:1345)"),
+    VersionSpec(11, "kdtree_device", "tree", _v11, "KD-tree host build + beam frontier device query (v11 — actually runs, unlike core.cu:1345)"),
     VersionSpec(12, "octree_host", "tree", _v12, "octree host build + host query (v12)"),
-    VersionSpec(13, "octree_device", "tree", _v13, "octree host build + batched device traversal (v13 — actually runs, unlike core.cu:1793)"),
+    VersionSpec(13, "octree_device", "tree", _v13, "octree host build + beam frontier device query (v13 — actually runs, unlike core.cu:1793)"),
     # Beyond the reference ladder: the framework's own flagship spatial index.
     VersionSpec(14, "cells", "tree", _v14, "supercell dense spatial index, batched Pallas scan + exactness certificate (beyond-ladder flagship for 3-D)"),
 ]
