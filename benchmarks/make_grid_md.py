@@ -22,7 +22,7 @@ import json
 _HDR_UNIFORM = """# Reference-grid results (all 15 versions x 10 configs, real v5e via axon)
 Protocol: seed 1000, identical data per version, 2 warm-up + best-of-3
 timed runs per cell, recall verified against the f64 oracle on capped
-subsamples. **recall@1 = 1.0 on every run.**
+subsamples. {recall_line}
 Timings include per-call host<->device transfer and ~20-45 ms tunnel
 round-trip latency (see docs/ARCHITECTURE.md); kernels are far faster
 when staged and chained (bench.py, benchmarks/RESULTS.md).
@@ -34,7 +34,7 @@ _HDR_CLUSTERED = """# Clustered-domain grid (tree + flagship versions, real v5e 
 BASELINE config-5 domain (clustered Gaussian-mixture reference points,
 the octree family's home turf). Same protocol as GRID_RESULTS.md (seed
 1000, 2 warm-ups, best-of-3, f64-oracle recall on capped subsamples).
-**recall@1 = 1.0 on every run.** v14 (cells) adapts per workload: its
+{recall_line} v14 (cells) adapts per workload: its
 fixed-halo certificate misses clustered batches, so NNEngine promotes it
 to the octree beam index after the first batch (visible as the one-shot
 qps here; the steady-state serving numbers are in RESULTS.md rows 5/5b).
@@ -62,7 +62,23 @@ def main() -> int:
         f"{r['build_ms']:.1f} | {r['query_ms']:.1f} | {r['qps']:.0f} |"
         for r in rows
     ]
-    hdr = _HDR_CLUSTERED if args.clustered else _HDR_UNIFORM
+    # The recall claim is computed from the rows, never hard-coded: a
+    # regressed run must not produce an artifact whose prose contradicts
+    # its own table (ADVICE round 2).
+    if bad:
+        recall_line = (
+            "**RECALL REGRESSION: "
+            + ", ".join(
+                f"v{r['version']} k={r['k']} m={r['m']} n={r['n']} "
+                f"recall={r['recall_at_1']}" for r in bad
+            )
+            + ".**"
+        )
+    else:
+        recall_line = "**recall@1 = 1.0 on every run.**"
+    hdr = (_HDR_CLUSTERED if args.clustered else _HDR_UNIFORM).format(
+        recall_line=recall_line
+    )
     with open(args.out, "w") as f:
         f.write(hdr + "\n| version | k | m | n | build ms | query ms | qps |\n"
                 "|---|---|---|---|---|---|---|\n" + "\n".join(lines) + "\n")

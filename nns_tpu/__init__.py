@@ -3,9 +3,9 @@
 Built from scratch in JAX/XLA/Pallas with the same capabilities as the CUDA
 reference ladder sty-hhh/NNS-CUDA (see /root/reference and SURVEY.md):
 
-- a uniform query API (``nns``) with a 14-version registry (v0..v13) mirroring
-  the reference's optimization ladder (reference: core.cu namespaces v0..v13,
-  dispatch table main.cu:89-135),
+- a uniform query API (``nns``) with a 15-version registry (v0..v13 mirroring
+  the reference's optimization ladder + the v14 supercell flagship; reference:
+  core.cu namespaces v0..v13, dispatch table main.cu:89-135),
 - a brute-force family where the m x n distance computation is a fused Pallas
   kernel (distances live only in VMEM; reference analog: the fused
   shared-memory kernel of core.cu:216),
@@ -21,7 +21,7 @@ Exactness contract: recall@1 = 1.0 — every version returns a true nearest
 neighbor of the float32 inputs (verified against a float64 oracle).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 import os as _os
 

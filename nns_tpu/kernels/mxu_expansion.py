@@ -251,8 +251,10 @@ def nns_mxu_expansion(queries, refs, tile_m: int = 256, tile_n: int = 2048):
     band (measured: cert coverage 24% at k=3 vs 97%+ at k >= 8), so the
     MXU path would mostly pay for its own fallback."""
     if refs.shape[1] < 8:
-        from nns_tpu.kernels.pallas_fused import nns_fused
+        # fused_fallback stages the refs via device_put first (the numpy->
+        # jit-argument path costs ~10x on tunneled runtimes).
+        from nns_tpu.kernels.pallas_fused import fused_fallback
 
-        return np.asarray(nns_fused(queries, refs))
+        return np.asarray(fused_fallback(queries, refs))
     eng = MXUExpansion(refs, tile_m=tile_m, tile_n=tile_n)
     return eng.query(queries)

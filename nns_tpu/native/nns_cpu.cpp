@@ -274,12 +274,36 @@ struct OctCtx {
   int32_t* scratch;  // size n; partition staging (sibling ranges disjoint)
 };
 
-int oct_rec(OctCtx& ctx, int64_t beg, int64_t end, const float c[3], float rad,
-            int depth) {
+int oct_rec(OctCtx& ctx, int64_t beg, int64_t end, int depth) {
   if (ctx.n_nodes >= ctx.max_nodes) return -1;
   const int node = ctx.n_nodes++;
   ctx.starts[node] = (int32_t)beg;
   ctx.counts[node] = (int32_t)(end - beg);
+  // Tight f32-SOUND geometry: the node box comes from the node's OWN
+  // points (double accumulation), never halved from the parent cube — at
+  // large coordinate magnitudes the f32 rounding of a halved center
+  // exceeds deep-node nominal radii, and the query's cube-distance prune
+  // becomes unsound (misses true neighbors; range-robustness fuzz). The
+  // radius is inflated by a few ulps of the coordinate magnitude so
+  // |q - c| - r stays a true lower bound under f32 query arithmetic.
+  // Tight boxes also prune strictly harder than nominal octant cubes.
+  double lo[3] = {INFINITY, INFINITY, INFINITY};
+  double hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+  for (int64_t i = beg; i < end; ++i) {
+    const float* pt = ctx.refs + 3 * (size_t)ctx.order[i];
+    for (int d = 0; d < 3; ++d) {
+      lo[d] = std::min(lo[d], (double)pt[d]);
+      hi[d] = std::max(hi[d], (double)pt[d]);
+    }
+  }
+  float c[3];
+  double radd = 0.0, cmag = 0.0;
+  for (int d = 0; d < 3; ++d) {
+    c[d] = (float)((lo[d] + hi[d]) * 0.5);
+    radd = std::max(radd, std::max(hi[d] - (double)c[d], (double)c[d] - lo[d]));
+    cmag = std::max(cmag, std::fabs((double)c[d]));
+  }
+  const float rad = (float)(radd + 1.2e-6 * (cmag + radd) + 1e-30);
   std::memcpy(ctx.centers + 3 * (size_t)node, c, 3 * sizeof(float));
   ctx.radii[node] = rad;
   for (int o = 0; o < 8; ++o) ctx.children[8 * (size_t)node + o] = -1;
@@ -313,11 +337,7 @@ int oct_rec(OctCtx& ctx, int64_t beg, int64_t end, const float c[3], float rad,
 
   for (int o = 0; o < 8; ++o) {
     if (cnt[o] == 0) continue;
-    float cc[3];
-    for (int d = 0; d < 3; ++d)
-      cc[d] = c[d] + (((o >> d) & 1) ? rad / 2 : -rad / 2);
-    int child = oct_rec(ctx, beg + offs[o], beg + offs[o + 1], cc, rad / 2,
-                        depth + 1);
+    int child = oct_rec(ctx, beg + offs[o], beg + offs[o + 1], depth + 1);
     if (child < 0) return -1;
     ctx.children[8 * (size_t)node + o] = child;
   }
@@ -330,26 +350,14 @@ int nns_octree_build(int k, int n, const float* refs, int32_t* children,
                      float* centers, float* radii, int32_t* starts,
                      int32_t* counts, int32_t* order, int max_depth) {
   if (k != 3 || n < 1) return -1;
-  float mn[3] = {INFINITY, INFINITY, INFINITY};
-  float mx[3] = {-INFINITY, -INFINITY, -INFINITY};
-  for (int64_t i = 0; i < n; ++i)
-    for (int d = 0; d < 3; ++d) {
-      float v = refs[3 * i + d];
-      mn[d] = std::min(mn[d], v);
-      mx[d] = std::max(mx[d], v);
-    }
-  float c[3], rad = 0.f;
-  for (int d = 0; d < 3; ++d) {
-    c[d] = (mn[d] + mx[d]) / 2;
-    rad = std::max(rad, (mx[d] - mn[d]) / 2);
-  }
-  rad += 1e-7f;
   for (int i = 0; i < n; ++i) order[i] = i;
   std::vector<int32_t> scratch((size_t)n);
   // max_nodes is implied by the caller's allocation: 4n + 64 (see build.py).
+  // Node geometry (incl. the root's) is derived per node from its own
+  // points inside oct_rec.
   OctCtx ctx{refs, children, centers, radii, starts, counts, order,
              4 * n + 64, 0, max_depth, scratch.data()};
-  if (oct_rec(ctx, 0, n, c, rad, 0) < 0) return -1;
+  if (oct_rec(ctx, 0, n, 0) < 0) return -1;
   return ctx.n_nodes;
 }
 

@@ -94,7 +94,10 @@ def ring_argmin(
     """Exact 1-NN with queries AND refs sharded over ``mesh``'s first axis,
     reference blocks rotating via ppermute. Lowest-index tie-break."""
     axis = mesh.axis_names[0]
-    n_dev = mesh.devices.size
+    # Shard over the FIRST mesh axis only: sizes must come from that axis,
+    # not the whole device count, or global indices are silently wrong on
+    # multi-axis meshes (ADVICE round 2).
+    n_dev = mesh.shape[axis]
     m = queries.shape[0]
     q = layouts.pad_queries(jnp.asarray(queries), n_dev * 8)
     r = layouts.pad_refs(jnp.asarray(refs), n_dev * _LANE)
@@ -110,7 +113,11 @@ def nns_ring(queries, refs, mesh: Mesh | None = None,
     if mesh is None:
         mesh = best_mesh(refs.shape[0])
     if mesh.devices.size == 1:
+        import numpy as np
+
         from nns_tpu.kernels.pallas_fused import nns_fused
 
+        if isinstance(refs, np.ndarray):  # stage first: numpy-through-jit is ~10x
+            refs = jax.device_put(jnp.asarray(refs, dtype=jnp.float32))
         return nns_fused(queries, refs, tile_m=tile_m, tile_n=tile_n)
     return ring_argmin(queries, refs, mesh, tile_m, tile_n)

@@ -121,6 +121,9 @@ class ShardedCellEngine(CellListEngine):
         inv[order] = np.arange(m)
         idx = idx_s[inv]
         ok = idx >= 0
+        risk = self._sentinel_risk(q)
+        if risk is not None:
+            ok &= ~risk  # sentinel-corner proximity: force the exact path
         return idx.astype(np.int32), ok
 
 

@@ -59,20 +59,40 @@ class Octree:
             return cls(refs, children, centers, radii, starts, counts, order, max_depth)
         return cls._build_numpy(refs, max_depth)
 
+    @staticmethod
+    def _tight_geometry(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """(center f32, radius f32) for point boxes (S, 3) lo/hi in f64.
+
+        Node geometry is derived from each node's OWN points, never halved
+        from the parent cube: at large coordinate magnitudes the f32
+        rounding of a halved center exceeds deep-node nominal radii, and
+        the query's cube-distance prune becomes unsound (range-robustness
+        fuzz). The radius is inflated by a few ulps of the coordinate
+        magnitude so |q - c| - r stays a true lower bound under f32 query
+        arithmetic; tight boxes also prune strictly harder than nominal
+        octant cubes. Mirrors oct_rec in native/nns_cpu.cpp."""
+        cen = ((lo + hi) * 0.5).astype(np.float32)
+        c64 = cen.astype(np.float64)
+        radd = np.maximum(hi - c64, c64 - lo).max(axis=1)
+        cmag = np.abs(c64).max(axis=1)
+        rad = (radd + 1.2e-6 * (cmag + radd) + 1e-30).astype(np.float32)
+        return cen, rad
+
     @classmethod
     def _build_numpy(cls, refs: np.ndarray, max_depth: int = 9) -> "Octree":
         n, k = refs.shape
 
-        mn, mx = refs.min(axis=0), refs.max(axis=0)
-        root_c = (mn + mx) / 2.0
-        root_r = float(np.max(mx - mn)) / 2.0 + 1e-7
+        r64 = refs.astype(np.float64)
+        root_c, root_r = cls._tight_geometry(
+            r64.min(axis=0, keepdims=True), r64.max(axis=0, keepdims=True)
+        )
 
         order = np.arange(n, dtype=np.int32)
         # Per-level pending segments (ranges into `order`).
         beg = np.array([0], dtype=np.int64)
         end = np.array([n], dtype=np.int64)
-        cen = root_c[None, :].astype(np.float32)
-        rad = np.array([root_r], dtype=np.float32)
+        cen = root_c
+        rad = root_r
 
         children_out: list[np.ndarray] = []
         center_out: list[np.ndarray] = [cen]
@@ -90,7 +110,7 @@ class Octree:
 
             si = np.flatnonzero(split)
             if len(si):
-                sb, se, sc, sr = beg[si], end[si], cen[si], rad[si]
+                sb, se, sc = beg[si], end[si], cen[si]
                 lens = se - sb
                 total = int(lens.sum())
                 segid = np.repeat(np.arange(len(si)), lens)
@@ -112,24 +132,26 @@ class Octree:
                 next_id += n_new
                 child_tbl[si] = ids
 
-                # Child geometry: center ± r/2 along each dim by octant bit.
-                bits = np.array([[(o >> j) & 1 for j in range(3)] for o in range(8)], dtype=np.float32)
-                sign = bits * 2.0 - 1.0          # (8, 3) in {-1, +1}
-                ccen = sc[:, None, :] + sign[None, :, :] * (sr[:, None, None] / 2.0)  # (Si, 8, 3)
-                crad = np.repeat(sr / 2.0, 8).reshape(len(si), 8)
-
                 flat = nonempty.reshape(-1)
                 nb = cb.reshape(-1)[flat]
                 ne = ce_.reshape(-1)[flat]
-                nc = ccen.reshape(-1, 3)[flat]
-                nr = crad.reshape(-1)[flat]
 
-                center_out.append(nc.astype(np.float32))
-                radius_out.append(nr.astype(np.float32))
+                # Child geometry: tight per-child point boxes (see
+                # _tight_geometry). Child ranges are consecutive in the
+                # permuted flat point array, so one reduceat per bound.
+                pts_s = pts[perm].astype(np.float64)
+                seg_off = (np.cumsum(lens) - lens)[:, None]
+                flat_starts = (seg_off + (cb - sb[:, None])).reshape(-1)[flat]
+                lo = np.minimum.reduceat(pts_s, flat_starts, axis=0)
+                hi = np.maximum.reduceat(pts_s, flat_starts, axis=0)
+                nc, nr = cls._tight_geometry(lo, hi)
+
+                center_out.append(nc)
+                radius_out.append(nr)
                 start_out.append(nb.astype(np.int32))
                 count_out.append((ne - nb).astype(np.int32))
 
-                beg, end, cen, rad = nb, ne, nc.astype(np.float32), nr.astype(np.float32)
+                beg, end, cen, rad = nb, ne, nc, nr
             else:
                 beg = np.empty(0, dtype=np.int64)
 
