@@ -115,7 +115,7 @@ def main() -> int:
     while len(times) < MAX_TRIALS:
         t0 = time.perf_counter()
         out = engine.query_queue_staged(dq, fq)
-        _ = np.asarray(out[-1])  # sync: final batch's packed (3, m) result
+        _ = np.asarray(out[-1])  # sync: final batch's dense (G*QM,) i32 winners
         per_batch = (time.perf_counter() - t0) / W
         times.append(per_batch * 1e3)
         if per_batch < best * 0.995:
@@ -139,16 +139,22 @@ def main() -> int:
     # ~25 ms/MB on fetches; in a pipelined server this transfer overlaps the
     # next drain, so it is reported but not the headline).
     full_times = []
+    full_np = None
     for _ in range(6):
         t0 = time.perf_counter()
         out = engine.query_queue_staged(dq, fq)
-        _ = np.asarray(out)
+        full_np = np.asarray(out)
         full_times.append((time.perf_counter() - t0) / W * 1e3)
     full_best = min(full_times)
     log(
-        f"[bench] with full {W*3*N_QUERIES*4/1e6:.1f} MB result download: "
+        f"[bench] with full {full_np.nbytes/1e6:.1f} MB result download: "
         f"{full_best:.2f} ms/batch -> {N_QUERIES/full_best*1e3:,.0f} qps"
     )
+    # Answers of every drained batch must match the per-batch path (the
+    # queue result is the serving answer, not a timing artifact).
+    idx_b5, ok_b5 = engine.unscatter_queue(full_np[5], fstack[5], orders[5])
+    chk, okc = engine.query_with_flags(batches[5])
+    assert np.array_equal(idx_b5[ok_b5], np.asarray(chk)[ok_b5]), "queue/batch mismatch"
 
     # Secondary: serial per-request latency (staging + upload + single-batch
     # dispatch + fetch, nothing overlapped — the honest single-request number).

@@ -20,9 +20,10 @@ import argparse
 import json
 
 _HDR_UNIFORM = """# Reference-grid results (all 15 versions x 10 configs, real v5e via axon)
-Protocol: seed 1000, identical data per version, 2 warm-up + best-of-3
-timed runs per cell, recall verified against the f64 oracle on capped
-subsamples. {recall_line}
+Protocol: seed 1000, identical data per version, 1 untimed warm build +
+2 warm-up + best-of-3 timed query runs per cell (first-compile excluded
+from BOTH build and query columns), recall verified against the f64
+oracle on capped subsamples. {recall_line}
 Timings include per-call host<->device transfer and ~20-45 ms tunnel
 round-trip latency (see docs/ARCHITECTURE.md); kernels are far faster
 when staged and chained (bench.py, benchmarks/RESULTS.md).
@@ -33,7 +34,8 @@ _HDR_CLUSTERED = """# Clustered-domain grid (tree + flagship versions, real v5e 
 `python -m nns_tpu.harness --versions 10,11,12,13,14 --clustered` — the
 BASELINE config-5 domain (clustered Gaussian-mixture reference points,
 the octree family's home turf). Same protocol as GRID_RESULTS.md (seed
-1000, 2 warm-ups, best-of-3, f64-oracle recall on capped subsamples).
+1000, 1 warm build, 2 query warm-ups, best-of-3, f64-oracle recall on
+capped subsamples; first-compile excluded from both columns).
 {recall_line} v14 (cells) adapts per workload: its
 fixed-halo certificate misses clustered batches, so NNEngine promotes it
 to the octree beam index after the first batch (visible as the one-shot

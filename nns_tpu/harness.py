@@ -73,6 +73,16 @@ def run_one(
     queries, refs = make_dataset(k, m, n, cfg.seed, clustered=cfg.clustered)
     engine = NNEngine(version)
 
+    # Warm the BUILD path too (the core.cu:1900-1933 compile-exclusion
+    # analog, applied to builds the way the loop below applies it to
+    # queries): an untimed throwaway build of the same data primes kernel
+    # compiles and staging caches. Without this, a version's first build
+    # absorbs first-compile of its staging kernels — round 2's clustered
+    # artifact recorded a 10 s "build" of a 1,024-point octree that is
+    # 256 ms compiled (VERDICT round 2 weak #5).
+    if cfg.warmup_iters > 0:
+        NNEngine(version).build(refs)
+
     t0 = now_ns()
     engine.build(refs)
     build_ms = (now_ns() - t0) / 1e6

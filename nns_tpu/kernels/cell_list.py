@@ -141,7 +141,7 @@ def _query_body(packed_in, halo_dm, halo_ids, halo2,
                 q_max: int, g_total: int, interpret: bool,
                 group_batch: int | None):
     """One batch: packed (m, 5) f32 [qx, qy, qz, sid, pos] -> scatter into
-    the dense per-supercell tensor, scan kernel, unscatter -> (3, m)."""
+    the dense per-supercell tensor, scan kernel, unscatter -> (4, m)."""
     q_sorted = packed_in[:, :3]
     sid_s = packed_in[:, 3].astype(jnp.int32)   # exact for values < 2^24
     pos = packed_in[:, 4].astype(jnp.int32)
@@ -157,11 +157,16 @@ def _query_body(packed_in, halo_dm, halo_ids, halo2,
     # violated boundary and B cannot lie beyond it. So dist(B, q) > halo,
     # and best <= halo proves exactness.
     ok = d2 <= halo2
-    # Packed f32 result: [idx, ok, best_d2]. Ids are exact as f32 below 2^24
-    # (n <= 16.7M — the engine asserts this at build). best_d2 is the
-    # upper bound on the true NN distance whenever the halo set was nonempty
-    # (inf otherwise) — adaptive consumers size structures from it.
-    return jnp.stack([idx.astype(jnp.float32), ok.astype(jnp.float32), d2])
+    # Packed f32 result: [idx_hi, idx_lo, ok, best_d2]. Ids travel as two
+    # exactly-representable float columns (hi/lo 12-bit split, each < 2^23,
+    # sound for n < 2^35 — in practice HBM-bound long before that); a plain
+    # astype corrupts ids >= 2^24 and a bitcast makes small ids denormal
+    # (TPU flushes them to zero in transit). Same scheme as the top-k path.
+    # best_d2 upper-bounds the true NN distance whenever the halo set was
+    # nonempty (inf otherwise) — adaptive consumers size structures from it.
+    idx_hi = (idx >> 12).astype(jnp.float32)
+    idx_lo = (idx & 0xFFF).astype(jnp.float32)
+    return jnp.stack([idx_hi, idx_lo, ok.astype(jnp.float32), d2])
 
 
 @functools.partial(jax.jit, static_argnames=("q_max", "g_total", "interpret", "group_batch"))
@@ -176,25 +181,28 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group_batch"))
-def _device_query_queue(dstack, fstack, halo_dm, halo_ids, halo2,
+def _device_query_queue(dstack, halo_dm, halo_ids, halo2,
                         interpret: bool, group_batch: int | None = None):
     """W staged batches in ONE dispatch: dstack (W, G, QM, 3) dense query
-    tensors built on the HOST at staging time, fstack (W, m) flat winner
-    slots -> (W, 3, m). Dispatch overhead through a remote tunnel is ~1 ms
+    tensors built on the HOST at staging time -> (W, G*QM) i32, the DENSE
+    per-slot winners with the certificate in the sign bit (id when the
+    <= halo certificate holds, -id-1 when it fails; ids < 2^30 by the
+    build-time n limit). Dispatch overhead through a remote tunnel is ~1 ms
     regardless of program size (measured: the scan kernel alone runs
     0.45 ms but a chained single-batch dispatch never beats ~2 ms), so a
-    serving queue drains W accumulated batches per program. Per batch the
-    device does the scan plus ONE packed (m, 2) gather — no scatter (host
-    staging replaces it; measured ~10% over the in-jit scatter form). The
-    body is UNROLLED: a lax.scan formulation re-stages the loop-invariant
-    halo tensors per iteration and measured ~15% slower."""
+    serving queue drains W accumulated batches per program. The device does
+    ONLY the scans: the per-batch winner unscatter is 10K numpy rows on the
+    host after the fetch (round-3 measurement: the former on-device
+    concatenate + packed gather cost ~0.6 ms/batch — more than the scan
+    itself — while the dense i32 result only grows the fetch by ~56 KB).
+    The body is UNROLLED: a lax.scan formulation re-stages the
+    loop-invariant halo tensors per iteration and measured ~15% slower."""
     outs = []
     for w in range(dstack.shape[0]):
         dmin, dgid = _cell_scan(dstack[w], halo_dm, halo_ids, interpret, group_batch)
-        packed2 = jnp.concatenate([dmin, dgid.astype(jnp.float32)], axis=2)
-        got = packed2.reshape(-1, 2)[fstack[w]]   # ids exact as f32 < 2^24
-        d2 = got[:, 0]
-        outs.append(jnp.stack([got[:, 1], (d2 <= halo2).astype(jnp.float32), d2]))
+        ok = dmin[:, :, 0] <= halo2
+        gid = dgid[:, :, 0]
+        outs.append(jnp.where(ok, gid, -gid - 1).reshape(-1))
     return jnp.stack(outs)
 
 
@@ -266,10 +274,13 @@ class CellListEngine:
         n, k = refs.shape
         if k != 3:
             raise ValueError("CellListEngine requires 3-D points")
-        if n >= 1 << 24:
-            # Result ids travel as f32 (exact below 2^24); larger sets go
-            # through the sharded engine, which partitions n per device.
-            raise ValueError("CellListEngine supports n < 2^24 per device")
+        if n >= 1 << 30:
+            # Result ids travel as hi/lo 12-bit f32 pairs (exact transit up
+            # to 2^35) and as i32 in-kernel with a 2^30 tie mask, so the
+            # true ceiling is 2^30 — HBM bounds n long before that. (Round 2
+            # capped n at 2^24 via whole-id f32 transit; lifted per VERDICT
+            # item 7.)
+            raise ValueError("CellListEngine supports n < 2^30 per device")
         self.refs = refs
         self.n = n
 
@@ -453,7 +464,7 @@ class CellListEngine:
 
     def query_staged(self, packed, q_max: int, group_batch: int | None = None):
         """Device half: one dispatch over a staged (m, 5) upload array
-        (numpy or device-resident). Returns the packed (2, m) device array."""
+        (numpy or device-resident). Returns the packed (4, m) device array."""
         return _device_query(
             jnp.asarray(packed), self.halo_dm, self.halo_ids_dev,
             jnp.float32(self.halo) ** 2,
@@ -487,15 +498,34 @@ class CellListEngine:
             flats.append((sid * q_max + pos).astype(np.int32))
         return np.stack(denses), np.stack(flats), orders
 
-    def query_queue_staged(self, dstack, fstack,
+    def query_queue_staged(self, dstack, fstack=None,
                            group_batch: int | None = None):
         """Device half of the queue path: W staged batches, one dispatch
-        (see _device_query_queue). Returns the (W, 3, m) device array."""
+        (see _device_query_queue). Returns the dense (W, G*QM) i32 device
+        array — winner id per slot, certificate in the sign bit; recover
+        per-query results by indexing with stage_queue's fstack slots on
+        the host (unscatter_queue). ``fstack`` is accepted for call-site
+        symmetry but the device no longer needs it."""
+        del fstack
         return _device_query_queue(
-            jnp.asarray(dstack), jnp.asarray(fstack),
-            self.halo_dm, self.halo_ids_dev,
+            jnp.asarray(dstack), self.halo_dm, self.halo_ids_dev,
             jnp.float32(self.halo) ** 2, _interpret(), group_batch,
         )
+
+    @staticmethod
+    def unscatter_queue(out_w: np.ndarray, fslots: np.ndarray,
+                        order: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """Host half of the queue path for one batch: dense (G*QM,) signed
+        winners + the batch's flat slots and staging order -> (idx, ok) in
+        the caller's original query order."""
+        got = out_w[fslots]                   # (m,) signed, staged order
+        m = len(order)
+        inv = np.empty(m, dtype=np.int64)
+        inv[order] = np.arange(m)
+        got = got[inv]
+        ok = got >= 0
+        idx = np.where(ok, got, -got - 1).astype(np.int32)
+        return idx, ok
 
     def query_queue(self, batches) -> list[np.ndarray]:
         """EXACT answers for several equal-sized query batches in one device
@@ -506,14 +536,10 @@ class CellListEngine:
         dstack, fstack, orders = self.stage_queue(batches)
         if dstack is None:
             return [self.query(qb) for qb in batches]
-        out = np.asarray(self.query_queue_staged(dstack, fstack))
+        out = np.asarray(self.query_queue_staged(dstack))
         results = []
         for w, qb in enumerate(batches):
-            m = len(orders[w])
-            inv = np.empty(m, dtype=np.int64)
-            inv[orders[w]] = np.arange(m)
-            idx = out[w][0][inv].astype(np.int32)
-            ok = out[w][1][inv].astype(bool)
+            idx, ok = self.unscatter_queue(out[w], fstack[w], orders[w])
             risk = self._sentinel_risk(np.asarray(qb, dtype=np.float32))
             if risk is not None:
                 ok &= ~risk
@@ -555,9 +581,11 @@ class CellListEngine:
         packed = np.asarray(packed)  # the single round-trip
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)
-        idx = packed[0][inv].astype(np.int32)
-        ok = packed[1][inv].astype(bool)
-        d2 = packed[2][inv].astype(np.float32)
+        hi = packed[0][inv].astype(np.int64)
+        lo_bits = packed[1][inv].astype(np.int64)
+        idx = ((hi << 12) | lo_bits).astype(np.int32)
+        ok = packed[2][inv].astype(bool)
+        d2 = packed[3][inv].astype(np.float32)
         if risk is not None:
             ok &= ~risk  # sentinel-corner proximity: force the exact path
         return idx, ok, d2

@@ -39,10 +39,14 @@ def _dists_f64(q_chunk: np.ndarray, refs: np.ndarray) -> np.ndarray:
 def nn_oracle_f64(queries: np.ndarray, refs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Ground truth: (argmin_idx[m] int64, min_dist2[m] float64)."""
     m = queries.shape[0]
+    n = refs.shape[0]
+    # Bound the (chunk, n) f64 intermediate to ~1 GB: at 16M+ refs the
+    # fixed 128-query chunk would allocate 17 GB and stall the host.
+    chunk = max(1, min(_CHUNK, (1 << 27) // max(n, 1)))
     idx = np.empty(m, dtype=np.int64)
     dmin = np.empty(m, dtype=np.float64)
-    for lo in range(0, m, _CHUNK):
-        hi = min(lo + _CHUNK, m)
+    for lo in range(0, m, chunk):
+        hi = min(lo + chunk, m)
         d = _dists_f64(queries[lo:hi], refs)
         idx[lo:hi] = np.argmin(d, axis=1)
         dmin[lo:hi] = d[np.arange(hi - lo), idx[lo:hi]]

@@ -221,14 +221,13 @@ def test_query_queue_matches_single_batch():
     eng = CellListEngine(r)
     batches = [rng.random((500, 3), dtype=np.float32) for _ in range(3)]
     dstack, fstack, orders = eng.stage_queue(batches)
-    out = np.asarray(eng.query_queue_staged(dstack, fstack))
+    out = np.asarray(eng.query_queue_staged(dstack))
     for w, qb in enumerate(batches):
-        idx_q = out[w][0]
-        inv = np.empty(500, np.int64)
-        inv[orders[w]] = np.arange(500)
+        idx_q, ok_q = eng.unscatter_queue(out[w], fstack[w], orders[w])
         idx_single, ok_single = eng.query_with_flags(qb)
-        np.testing.assert_array_equal(idx_q[inv].astype(np.int32), idx_single)
-        assert_exact(idx_q[inv][ok_single].astype(np.int32), qb[ok_single], r)
+        np.testing.assert_array_equal(ok_q, ok_single)
+        np.testing.assert_array_equal(idx_q[ok_q], idx_single[ok_single])
+        assert_exact(idx_q[ok_q], qb[ok_q], r)
 
 
 def test_beam_checkpoint_roundtrip(tmp_path):
@@ -250,3 +249,35 @@ def test_beam_checkpoint_roundtrip(tmp_path):
     idx2 = eng2.query(q)
     np.testing.assert_array_equal(np.asarray(idx1), np.asarray(idx2))
     assert_exact(idx2, q, r)
+
+
+def test_ids_above_2_24_transit_exactly():
+    # n >= 2^24 support (VERDICT round 3 item 7): ids ride the packed f32
+    # result as hi/lo 12-bit columns. Simulate a big-n id space by offsetting
+    # the halo id table past 2^24 — every certified answer must come back
+    # with the exact offset id (a plain f32 astype would corrupt these).
+    import jax
+    import jax.numpy as jnp
+
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(77)
+    r = rng.random((8192, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+    q = rng.random((256, 3), dtype=np.float32)
+    idx1, ok1 = eng.query_with_flags(q)
+    OFF = (1 << 24) + 12345
+    eng.halo_ids_dev = jax.device_put(jnp.asarray(eng.halo_ids + OFF))
+    idx2, ok2 = eng.query_with_flags(q)
+    np.testing.assert_array_equal(ok1, ok2)
+    np.testing.assert_array_equal(
+        idx2[ok2].astype(np.int64) - OFF, idx1[ok1].astype(np.int64)
+    )
+    # Queue path: dense i32 winners carry the same offset ids exactly.
+    batches = [q, rng.random((256, 3), dtype=np.float32)]
+    dstack, fstack, orders = eng.stage_queue(batches)
+    out = np.asarray(eng.query_queue_staged(dstack))
+    idx_q, ok_q = eng.unscatter_queue(out[0], fstack[0], orders[0])
+    np.testing.assert_array_equal(
+        idx_q[ok_q].astype(np.int64) - OFF, idx1[ok1].astype(np.int64)
+    )

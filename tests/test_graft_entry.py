@@ -16,10 +16,11 @@ import __graft_entry__
 
 def test_entry_jits_and_runs():
     fn, args = __graft_entry__.entry()
-    out = np.asarray(jax.jit(fn)(*args))  # packed (3, m): [idx, cert, d2]
-    assert out.shape == (3, 256)
-    assert out[0].min() >= 0  # valid reference indices
-    assert set(np.unique(out[1])) <= {0, 1}  # certificate flags
+    out = np.asarray(jax.jit(fn)(*args))  # packed (4, m): [idx_hi, idx_lo, cert, d2]
+    assert out.shape == (4, 256)
+    idx = (out[0].astype(np.int64) << 12) | out[1].astype(np.int64)
+    assert idx.min() >= 0  # valid reference indices
+    assert set(np.unique(out[2])) <= {0, 1}  # certificate flags
 
 
 def test_dryrun_multichip_8():
