@@ -50,7 +50,7 @@ _TR = 8192  # halo points per kernel step (R_max is tiled when larger)
 _GB = 8     # supercells per grid step (amortizes per-step fixed costs)
 
 
-def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, *, gb: int):
+def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, scratch, *, gb: int):
     """GB supercells x one halo tile: fused direct distance + carried
     (min, GLOBAL id).
 
@@ -59,7 +59,13 @@ def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, *, gb: int):
     (GB, QM, 1) carried (min, id) per supercell. Ids are resolved IN the
     kernel by a one-hot min over the ids block: the tile-position argmin +
     host-side halo_ids row-gather it replaces cost more than the whole scan
-    (XLA row gathers run ~30 ns/row on v5e)."""
+    (XLA row gathers run ~30 ns/row on v5e).
+
+    The GB distance tiles are written into ONE (GB*QM, TR) VMEM scratch and
+    reduced in a single pass: per-group (QM, TR) reductions leave most
+    sublanes idle at QM=16 and pay per-group instruction overhead — the
+    stacked pass measured 3.3x faster end-to-end on v5e (round 3, 9.5 ms ->
+    2.9 ms per 32x10K-query drain; checksum-identical)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -67,27 +73,29 @@ def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, *, gb: int):
         min_ref[:] = jnp.full(min_ref.shape, jnp.inf, dtype=jnp.float32)
         gid_ref[:] = jnp.zeros(gid_ref.shape, dtype=jnp.int32)
 
+    qm = q_ref.shape[1]
+    tr = h_ref.shape[2]
     for g in range(gb):
         q = q_ref[g]    # (QM, 3)
         h = h_ref[g]    # (3, TR)
-        ids = id_ref[g]  # (1, TR)
-        qm, tr = q.shape[0], h.shape[1]
         d2 = jnp.zeros((qm, tr), dtype=jnp.float32)
         for d in range(3):
             diff = q[:, d : d + 1] - h[d : d + 1, :]
             d2 = d2 + diff * diff
-        # Tie-break note: among exactly-tied neighbors the smallest global
-        # id in this tile wins and earlier tiles beat later ones — exact,
-        # but not always the lowest reference index overall (that stronger
-        # guarantee belongs to the brute-force family).
-        local_min = jnp.min(d2, axis=1, keepdims=True)
-        local_gid = jnp.min(
-            jnp.where(d2 == local_min, ids, jnp.int32(1 << 30)),
-            axis=1, keepdims=True,
-        )
-        better = local_min < min_ref[g]
-        gid_ref[g] = jnp.where(better, local_gid, gid_ref[g])
-        min_ref[g] = jnp.where(better, local_min, min_ref[g])
+        scratch[g * qm:(g + 1) * qm, :] = d2
+    s3 = scratch[:, :].reshape(gb, qm, tr)
+    ids_all = id_ref[:, 0, :]                       # (GB, TR)
+    # Tie-break note: among exactly-tied neighbors the smallest global id
+    # in this tile wins and earlier tiles beat later ones — exact, but not
+    # always the lowest reference index overall (that stronger guarantee
+    # belongs to the brute-force family).
+    lm3 = jnp.min(s3, axis=2, keepdims=True)        # (GB, QM, 1)
+    masked = jnp.where(s3 == lm3, ids_all[:, None, :], jnp.int32(1 << 30))
+    local_gid = jnp.min(masked, axis=2)             # (GB, QM)
+    lm = lm3[:, :, 0]
+    better = lm < min_ref[:, :, 0]
+    gid_ref[:, :, 0] = jnp.where(better, local_gid, gid_ref[:, :, 0])
+    min_ref[:, :, 0] = jnp.where(better, lm, min_ref[:, :, 0])
 
 
 def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
@@ -112,6 +120,17 @@ def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
     gb = group_batch or _GB
     if g_total % gb or halo_groups % gb:
         gb = 1
+    # The stacked (GB*QM, TR) reduction scratch must fit VMEM alongside the
+    # input blocks: halve GB while the scratch exceeds ~2M f32 (8 MB). At
+    # the flagship shapes (QM=16, TR<=1280) GB=8 uses 160 KB; only heavily
+    # skewed batches (QM up to 2048) ever shrink GB here.
+    while gb > 1 and gb * qm * tr > (1 << 21):
+        gb //= 2
+        while g_total % gb or halo_groups % gb:
+            gb //= 2
+            if gb == 0:
+                gb = 1
+                break
     hg = halo_groups // gb
     if g_total == halo_groups:
         h_index = lambda g, j: (g, 0, j)  # noqa: E731
@@ -133,6 +152,7 @@ def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
             jax.ShapeDtypeStruct((g_total, qm, 1), jnp.float32),
             jax.ShapeDtypeStruct((g_total, qm, 1), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((gb * qm, tr), jnp.float32)],
         interpret=interpret,
     )(dense_q, halo_dm, halo_ids[:, None, :])
 
