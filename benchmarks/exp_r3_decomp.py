@@ -60,7 +60,7 @@ def main():
     def drain_tiny(dstack_, halo_dm, halo_ids, interpret):
         acc = jnp.int32(0)
         for w in range(W):
-            dmin, dgid = _cell_scan(dstack_[w], halo_dm, halo_ids, interpret)
+            dmin, dgid = _cell_scan(dstack_[w], halo_dm, halo_ids, halo2, interpret)
             ok = dmin[:, :, 0] <= halo2
             acc = acc + jnp.where(ok, dgid[:, :, 0], -dgid[:, :, 0] - 1).sum()
         return acc.reshape(1)

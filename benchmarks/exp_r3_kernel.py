@@ -121,14 +121,14 @@ def main():
     @jax.jit
     def drain_scan_form(dq_):
         def body(acc, dense):
-            dmin, dgid = _cell_scan(dense, hd, hid, interp)
+            dmin, dgid = _cell_scan(dense, hd, hid, halo2, interp)
             return acc + jnp.where(dmin[:, :, 0] <= halo2, dgid[:, :, 0], 0).sum(), None
         acc, _ = jax.lax.scan(body, jnp.int32(0), dq_)
         return acc.reshape(1)
 
     variants = {
-        "current gb=8": make_drain(lambda d: _cell_scan(d, hd, hid, interp)),
-        "current gb=4": make_drain(lambda d: _cell_scan(d, hd, hid, interp, group_batch=4)),
+        "current gb=8": make_drain(lambda d: _cell_scan(d, hd, hid, halo2, interp)),
+        "current gb=4": make_drain(lambda d: _cell_scan(d, hd, hid, halo2, interp, group_batch=4)),
         "stacked gb=8": make_drain(lambda d: cell_scan_stacked(d, 8)),
         "stacked gb=14": make_drain(lambda d: cell_scan_stacked(d, 14)),
         "lax.scan form gb=8": drain_scan_form,

@@ -47,7 +47,7 @@ def main():
     def drain_current(dq_):
         outs = []
         for w in range(W):
-            dmin, dgid = _cell_scan(dq_[w], hd, hi_, interp)
+            dmin, dgid = _cell_scan(dq_[w], hd, hi_, halo2, interp)
             ok = dmin[:, :, 0] <= halo2
             outs.append(jnp.where(ok, dgid[:, :, 0], -dgid[:, :, 0] - 1).reshape(-1))
         return jnp.stack(outs)
@@ -56,7 +56,7 @@ def main():
     def drain_raw(dq_):
         mins, gids = [], []
         for w in range(W):
-            dmin, dgid = _cell_scan(dq_[w], hd, hi_, interp)
+            dmin, dgid = _cell_scan(dq_[w], hd, hi_, halo2, interp)
             mins.append(dmin[:, :, 0])
             gids.append(dgid[:, :, 0])
         return jnp.stack(mins), jnp.stack(gids)  # no where/sign encode
@@ -65,7 +65,7 @@ def main():
     def drain_tiny(dq_):
         acc = jnp.int32(0)
         for w in range(W):
-            dmin, dgid = _cell_scan(dq_[w], hd, hi_, interp)
+            dmin, dgid = _cell_scan(dq_[w], hd, hi_, halo2, interp)
             acc = acc + jnp.where(dmin[:, :, 0] <= halo2, dgid[:, :, 0], 0).sum()
         return acc.reshape(1)
 

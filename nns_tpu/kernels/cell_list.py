@@ -50,7 +50,8 @@ _TR = 8192  # halo points per kernel step (R_max is tiled when larger)
 _GB = 8     # supercells per grid step (amortizes per-step fixed costs)
 
 
-def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, scratch, *, gb: int):
+def _cell_kernel(h2_ref, q_ref, h_ref, id_ref, min_ref, gid_ref, scratch,
+                 *, gb: int):
     """GB supercells x one halo tile: fused direct distance + carried
     (min, GLOBAL id).
 
@@ -97,14 +98,27 @@ def _cell_kernel(q_ref, h_ref, id_ref, min_ref, gid_ref, scratch, *, gb: int):
     gid_ref[:, :, 0] = jnp.where(better, local_gid, gid_ref[:, :, 0])
     min_ref[:, :, 0] = jnp.where(better, lm, min_ref[:, :, 0])
 
+    # Final tile: fold the exactness certificate into the id's sign bit
+    # (id when best <= halo^2, -id-1 otherwise) so consumers need no
+    # further per-slot XLA epilogue (the where/compare on (G, QM) blocks
+    # measured ~0.26 ms/batch of drain time in round 3).
+    @pl.when(j == pl.num_programs(1) - 1)
+    def _():
+        sg = gid_ref[:, :, 0]
+        certified = min_ref[:, :, 0] <= h2_ref[0, 0]
+        gid_ref[:, :, 0] = jnp.where(certified, sg, -sg - 1)
 
-def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
+
+def _cell_scan(dense_q, halo_dm, halo_ids, halo2, interpret: bool,
                group_batch: int | None = None):
     """dense_q: (G_total, QM, 3); halo_dm: (G, 3, R_max); halo_ids:
-    (G, R_max). Returns per-slot (min_d (G_total, QM, 1), global id
-    (G_total, QM, 1)). G_total may be W*G for W stacked query batches —
-    the halo block index then wraps so every batch scans the same index."""
+    (G, R_max); halo2: scalar certificate radius^2. Returns per-slot
+    (min_d (G_total, QM, 1), SIGNED global id (G_total, QM, 1) — the
+    certificate rides the sign bit: id when min_d <= halo2, -id-1
+    otherwise). G_total may be W*G for W stacked query batches — the halo
+    block index then wraps so every batch scans the same index."""
     g_total, qm, _ = dense_q.shape
+    h2 = jnp.asarray(halo2, jnp.float32).reshape(1, 1)
     halo_groups = halo_dm.shape[0]
     r_max = halo_dm.shape[2]
     # Bound the (QM, TR) distance tile to ~1M f32 elements of VMEM. tr must
@@ -140,6 +154,7 @@ def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
         functools.partial(_cell_kernel, gb=gb),
         grid=(g_total // gb, r_max // tr),
         in_specs=[
+            pl.BlockSpec((1, 1), lambda g, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((gb, qm, 3), lambda g, j: (g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, 3, tr), h_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((gb, 1, tr), h_index, memory_space=pltpu.VMEM),
@@ -154,7 +169,7 @@ def _cell_scan(dense_q, halo_dm, halo_ids, interpret: bool,
         ),
         scratch_shapes=[pltpu.VMEM((gb * qm, tr), jnp.float32)],
         interpret=interpret,
-    )(dense_q, halo_dm, halo_ids[:, None, :])
+    )(h2, dense_q, halo_dm, halo_ids[:, None, :])
 
 
 def _query_body(packed_in, halo_dm, halo_ids, halo2,
@@ -166,17 +181,19 @@ def _query_body(packed_in, halo_dm, halo_ids, halo2,
     sid_s = packed_in[:, 3].astype(jnp.int32)   # exact for values < 2^24
     pos = packed_in[:, 4].astype(jnp.int32)
     dense_q = jnp.zeros((g_total, q_max, 3), jnp.float32).at[sid_s, pos].set(q_sorted)
-    dmin, dgid = _cell_scan(dense_q, halo_dm, halo_ids, interpret, group_batch)
+    dmin, sgid = _cell_scan(dense_q, halo_dm, halo_ids, halo2, interpret, group_batch)
     d2 = dmin[sid_s, pos, 0]
-    idx = dgid[sid_s, pos, 0]
+    sg = sgid[sid_s, pos, 0]
     # Certificate soundness, including queries OUTSIDE the data bounding box
     # (their cell index is clipped): every unscanned point B has per-dim
     # gap_d to the query's cell box with sum(gap_d^2) > halo^2, and for each
     # dim |B_d - q_d| >= gap_d — for in-box dims because q lies within its
     # cell's range, for clipped dims because the clipped cell touches the
     # violated boundary and B cannot lie beyond it. So dist(B, q) > halo,
-    # and best <= halo proves exactness.
-    ok = d2 <= halo2
+    # and best <= halo proves exactness. The kernel folded this compare
+    # into the id's sign bit.
+    ok = sg >= 0
+    idx = jnp.where(ok, sg, -sg - 1)
     # Packed f32 result: [idx_hi, idx_lo, ok, best_d2]. Ids travel as two
     # exactly-representable float columns (hi/lo 12-bit split, each < 2^23,
     # sound for n < 2^35 — in practice HBM-bound long before that); a plain
@@ -219,10 +236,9 @@ def _device_query_queue(dstack, halo_dm, halo_ids, halo2,
     loop-invariant halo tensors per iteration and measured ~15% slower."""
     outs = []
     for w in range(dstack.shape[0]):
-        dmin, dgid = _cell_scan(dstack[w], halo_dm, halo_ids, interpret, group_batch)
-        ok = dmin[:, :, 0] <= halo2
-        gid = dgid[:, :, 0]
-        outs.append(jnp.where(ok, gid, -gid - 1).reshape(-1))
+        _, sgid = _cell_scan(dstack[w], halo_dm, halo_ids, halo2,
+                             interpret, group_batch)
+        outs.append(sgid[:, :, 0].reshape(-1))
     return jnp.stack(outs)
 
 

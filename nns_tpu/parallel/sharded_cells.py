@@ -43,10 +43,11 @@ def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
         sid_c = jnp.where(mine, sid_l, g_local)
         dense = jnp.zeros((g_local + 1, q_max, 3), jnp.float32)
         dense = dense.at[sid_c, pos].set(q)
-        dmin, dgid = _cell_scan(dense[:g_local], halo_dm_l, halo_ids_l, interpret)
-        ok_l = dmin[:, :, 0] <= halo2
-        idx_l = jnp.where(ok_l, dgid[:, :, 0], -1)  # certificate encoded as -1
-        return jax.lax.all_gather(idx_l, axis, tiled=True)  # (G, Q_max)
+        _, sgid = _cell_scan(dense[:g_local], halo_dm_l, halo_ids_l, halo2,
+                             interpret)
+        # The kernel signs uncertified slots (-id-1 < 0); the consumer's
+        # `idx >= 0` certificate test is unchanged.
+        return jax.lax.all_gather(sgid[:, :, 0], axis, tiled=True)  # (G, Q_max)
 
     return jax.jit(
         jax.shard_map(
