@@ -412,13 +412,18 @@ class NNEngine:
         return self.spec(queries, self._refs, self.config)
 
     def query_many(self, batches) -> list[np.ndarray]:
-        """Exact answers for several equal-sized query batches. With a built
-        supercell index the whole queue drains in ONE device dispatch
-        (CellListEngine.query_queue) — the serving path bench.py measures;
-        other engines answer per batch."""
+        """Exact answers for several query batches in as few device
+        round-trips as possible (the serving path bench.py measures). With
+        a built supercell index the whole queue drains in ONE device
+        dispatch (CellListEngine.query_queue); beam/fused engines answer
+        the concatenated queue in one call (their queries are independent,
+        so one dispatch + one fetch amortizes the ~35 ms tunnel fetch floor
+        across the queue); anything else answers per batch."""
         if self._refs is None:
             raise RuntimeError("call build(refs) first")
         from nns_tpu.kernels.cell_list import CellListEngine
+        from nns_tpu.kernels.pallas_fused import FusedBruteForce
+        from nns_tpu.trees.beam import BeamIndex
 
         batches = [np.atleast_2d(np.asarray(b, dtype=np.float32)) for b in batches]
         if (
@@ -426,6 +431,15 @@ class NNEngine:
             and len({b.shape for b in batches}) == 1
         ):
             return [_as_idx(i) for i in self._built.query_queue(batches)]
+        if (
+            isinstance(self._built, (BeamIndex, FusedBruteForce))
+            and batches
+            and len({b.shape[1] for b in batches}) == 1
+        ):
+            allq = np.concatenate(batches, axis=0)
+            idx = self.query(allq)  # one dispatch; hysteresis sees one batch
+            offs = np.cumsum([b.shape[0] for b in batches])[:-1]
+            return [_as_idx(part) for part in np.split(np.asarray(idx), offs)]
         return [self.query(b) for b in batches]
 
     def query_topk(self, queries, k_nn: int = 8):

@@ -60,6 +60,35 @@ def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
     )
 
 
+@functools.lru_cache(maxsize=32)
+def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
+                      w: int, halo2: float, interpret: bool):
+    """W staged batches drained in ONE sharded program: each chip slices
+    its group range out of every (replicated) dense batch tensor, scans it,
+    and the sign-encoded winner tables ride one all-gather per batch — the
+    multi-chip twin of the single-chip queue drain."""
+    def local(dstack, halo_dm_l, halo_ids_l):
+        i = jax.lax.axis_index(axis)
+        outs = []
+        for wi in range(w):
+            dense_l = jax.lax.dynamic_slice_in_dim(
+                dstack[wi], i * g_local, g_local, axis=0
+            )
+            _, sgid = _cell_scan(dense_l, halo_dm_l, halo_ids_l, halo2, interpret)
+            outs.append(jax.lax.all_gather(sgid[:, :, 0], axis, tiled=True))
+        return jnp.stack(outs)  # (W, G_pad, Q_max)
+
+    return jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(None, None, None, None), P(axis, None, None), P(axis, None)),
+            out_specs=P(None, None, None),
+            check_vma=False,
+        )
+    )
+
+
 class ShardedCellEngine(CellListEngine):
     """Supercell engine with halo tensors sharded over a 1-D mesh axis."""
 
@@ -92,6 +121,26 @@ class ShardedCellEngine(CellListEngine):
     # unpadded device state; on the sharded engine use query/query_with_flags.
     def query_staged(self, packed, q_max):  # pragma: no cover - guard
         raise NotImplementedError("sharded engine: use query()/query_with_flags()")
+
+    def query_queue_staged(self, dstack, fstack=None,
+                           group_batch: int | None = None):
+        """Sharded queue drain: same contract as the single-chip form —
+        (W, G*QM) i32 sign-encoded winners — so query_queue/unscatter_queue
+        work unchanged over the mesh."""
+        del fstack, group_batch
+        dstack = jnp.asarray(dstack)
+        w, G = dstack.shape[0], self.D ** 3
+        if self.g_pad != dstack.shape[1]:
+            dstack = jnp.pad(
+                dstack,
+                ((0, 0), (0, self.g_pad - dstack.shape[1]), (0, 0), (0, 0)),
+            )
+        fn = _build_scan_queue(
+            self.mesh, self.axis, self.g_local, int(dstack.shape[2]), w,
+            float(self.halo) ** 2, _interpret(),
+        )
+        out = fn(dstack, self.halo_dm, self.halo_ids_dev)  # (W, g_pad, QM)
+        return out[:, :G].reshape(w, -1)
 
     def query_submit(self, queries):  # pragma: no cover - guard
         raise NotImplementedError("sharded engine: use query()/query_with_flags()")

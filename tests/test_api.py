@@ -213,3 +213,26 @@ def test_engine_clustered_promotes_within_two_batches():
     assert_exact(eng.query(q), q, r)
     assert_exact(eng.query(q), q, r)
     assert isinstance(eng._built, BeamIndex)
+
+
+def test_engine_query_many_beam_and_fused_concatenate():
+    # query_many over a promoted beam index / demoted fused engine must
+    # answer the whole queue in one call and match per-batch answers.
+    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+    from nns_tpu.trees.beam import BeamIndex
+    from nns_tpu.trees.octree import Octree
+
+    rng = np.random.default_rng(41)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    eng._built = Octree.build(r).device_index()  # as after promotion
+    batches = [rng.random((m, 3), dtype=np.float32) for m in (100, 37, 260)]
+    many = eng.query_many(batches)
+    assert isinstance(eng._built, BeamIndex)
+    for qb, idx in zip(batches, many):
+        assert_exact(idx, qb, r)
+
+    eng._built = FusedBruteForce(r)  # as after demotion
+    many = eng.query_many(batches)
+    for qb, idx in zip(batches, many):
+        assert_exact(idx, qb, r)

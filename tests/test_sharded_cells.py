@@ -56,3 +56,23 @@ def test_nns_sharded_cells_wrapper():
     # non-3-D routes to brute force
     q2, r2 = make_dataset(5, 16, 4096, seed=6)
     assert_exact(nns_sharded_cells(q2, r2, mesh=make_mesh(8)), q2, r2)
+
+
+def test_sharded_queue_drain_matches_per_batch():
+    # The sharded queue drain (one sharded program for W batches) must
+    # agree with per-batch sharded queries and stay exact.
+    import jax
+
+    from nns_tpu.parallel.mesh import make_mesh
+    from nns_tpu.parallel.sharded_cells import ShardedCellEngine
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    rng = np.random.default_rng(55)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(8))
+    batches = [rng.random((400, 3), dtype=np.float32) for _ in range(3)]
+    out = eng.query_queue(batches)
+    for qb, idx in zip(batches, out):
+        np.testing.assert_array_equal(idx, eng.query(qb))
+        assert_exact(idx, qb, r)
