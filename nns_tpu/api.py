@@ -268,17 +268,24 @@ class NNEngine:
             else:
                 self.spec = get_version(4)
         if self.spec.family == "tree":
-            if self.spec.num == 14 and refs.shape[1] == 3 and refs.shape[0] >= 4096:
-                from nns_tpu.kernels.cell_list import CellListEngine
+            if self.spec.num == 14:
+                from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
-                try:
-                    self._built = CellListEngine(refs)
-                except ValueError:
-                    # Too clustered for the cell index: degrade ONCE at build
-                    # time to the staged fused engine (re-attempting the O(n)
-                    # host build per query batch would be pathological).
-                    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+                if refs.shape[1] == 3 and refs.shape[0] >= 4096:
+                    from nns_tpu.kernels.cell_list import CellListEngine
 
+                    try:
+                        self._built = CellListEngine(refs)
+                    except ValueError:
+                        # Too clustered for the cell index: degrade ONCE at
+                        # build time to the staged fused engine (re-attempting
+                        # the O(n) host build per query batch would be
+                        # pathological).
+                        self._built = FusedBruteForce(refs)
+                else:
+                    # Non-3-D / tiny sets: stage the fused engine ONCE —
+                    # build/query semantics must not pay the per-call refs
+                    # transfer (measured 1.8 s/batch at k=16 n=1M without).
                     self._built = FusedBruteForce(refs)
             elif self.spec.num == 10 and refs.shape[1] <= self.config.kd_max_k:
                 from nns_tpu.trees.kdtree import KDTree
