@@ -429,6 +429,7 @@ class NNEngine:
         if self._refs is None:
             raise RuntimeError("call build(refs) first")
         from nns_tpu.kernels.cell_list import CellListEngine
+        from nns_tpu.kernels.mxu_expansion import MXUExpansion
         from nns_tpu.kernels.pallas_fused import FusedBruteForce
         from nns_tpu.trees.beam import BeamIndex
 
@@ -439,7 +440,7 @@ class NNEngine:
         ):
             return [_as_idx(i) for i in self._built.query_queue(batches)]
         if (
-            isinstance(self._built, (BeamIndex, FusedBruteForce))
+            isinstance(self._built, (BeamIndex, FusedBruteForce, MXUExpansion))
             and batches
             and len({b.shape[1] for b in batches}) == 1
         ):

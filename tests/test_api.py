@@ -236,3 +236,20 @@ def test_engine_query_many_beam_and_fused_concatenate():
     many = eng.query_many(batches)
     for qb, idx in zip(batches, many):
         assert_exact(idx, qb, r)
+
+
+def test_engine_query_many_mxu_expansion_concatenates():
+    # v9's MXUExpansion answers independent queries, so query_many must
+    # drain the queue as one concatenated call (one dispatch + one fetch
+    # amortizes the ~35 ms tunnel floor) and match per-batch answers.
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+
+    rng = np.random.default_rng(43)
+    r = rng.random((4096, 16), dtype=np.float32)
+    eng = NNEngine(9).build(r)
+    assert isinstance(eng._built, MXUExpansion)
+    batches = [rng.random((m, 16), dtype=np.float32) for m in (100, 37, 260)]
+    many = eng.query_many(batches)
+    assert len(many) == len(batches)
+    for qb, idx in zip(batches, many):
+        assert_exact(idx, qb, r)
