@@ -362,8 +362,8 @@ class NNEngine:
                     # buckets track the data density (measured 99.8%
                     # coverage where the fixed halo certifies 18%). Promotion
                     # is batch-weighted WITH hysteresis, mirroring the
-                    # demotion side below: the octree build is a multi-second
-                    # synchronous stall (~3.7 s at 1M clustered), so a single
+                    # demotion side below: the octree build + beam staging is
+                    # a synchronous stall (~1.8 s at 1M clustered), so a single
                     # stray outlier batch (cov 0.0 at m = 1) must never
                     # trigger it — only a sustained miss rate over a real
                     # query budget does.

@@ -245,7 +245,9 @@ def native_octree_build(refs: np.ndarray, max_depth: int):
     n, k = r.shape
     if k != 3:
         return None
-    max_nodes = 4 * n + 64  # matches the C++ bound (nns_cpu.cpp)
+    # Matches the C++ bound (nns_cpu.cpp): every internal node of the
+    # Morton build has >= 2 children, so node count < 2n.
+    max_nodes = 2 * n + 64
     children = np.empty((max_nodes, 8), dtype=np.int32)
     centers = np.empty((max_nodes, 3), dtype=np.float32)
     radii = np.empty(max_nodes, dtype=np.float32)

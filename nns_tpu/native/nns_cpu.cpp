@@ -253,96 +253,67 @@ void nns_octree_query(int m, const float* refs, const float* queries,
 }
 
 // ---------------------------------------------------------------------------
-// Octree build (3-D): linearized nodes — children[8], center, radius (cube
-// half extent), leaf point ranges over a permutation array. Same rules as
-// the framework's numpy build: octant bit j = (p[j] > c[j]) << j, leaf when
-// depth >= max_depth or count <= 1. Returns node count, or -1 on overflow.
+// Octree build (3-D): Morton-sorted linear octree — children[8], center,
+// radius, leaf point ranges over a permutation array. One 63-bit Morton
+// sort replaces the recursive per-node partition passes of the classic
+// build (measured 3.7 s -> sub-second at 1M clustered points): points are
+// sorted once by interleaved 21-bit grid coordinates over the tight root
+// box, after which every node's range is contiguous and each split is a
+// run-scan of the sorted keys. Splits skip empty levels (a node splits at
+// the FIRST 3-bit group where its keys differ), so tight clusters keep
+// resolving instead of collapsing into one deep grid cell — the same
+// adaptivity the tight-center recursive build had. One split counts as one
+// depth unit against max_depth; leaf when depth >= max_depth, count <= 1,
+// or all keys equal (points closer than 2^-21 of the root extent).
+// Returns node count, or -1 on overflow / bad input.
 // ---------------------------------------------------------------------------
 namespace {
 
-struct OctCtx {
-  const float* refs;
-  int32_t* children;  // (max_nodes, 8)
-  float* centers;     // (max_nodes, 3)
-  float* radii;
-  int32_t* starts;
-  int32_t* counts;
-  int32_t* order;
-  int32_t max_nodes;
-  int32_t n_nodes;
-  int max_depth;
-  int32_t* scratch;  // size n; partition staging (sibling ranges disjoint)
-};
+// Spread the low 21 bits of v so bit i lands at bit 3*i.
+inline uint64_t oct_expand21(uint64_t v) {
+  v &= 0x1fffff;
+  v = (v | v << 32) & 0x1f00000000ffffULL;
+  v = (v | v << 16) & 0x1f0000ff0000ffULL;
+  v = (v | v << 8) & 0x100f00f00f00f00fULL;
+  v = (v | v << 4) & 0x10c30c30c30c30c3ULL;
+  v = (v | v << 2) & 0x1249249249249249ULL;
+  return v;
+}
 
-int oct_rec(OctCtx& ctx, int64_t beg, int64_t end, int depth) {
-  if (ctx.n_nodes >= ctx.max_nodes) return -1;
-  const int node = ctx.n_nodes++;
-  ctx.starts[node] = (int32_t)beg;
-  ctx.counts[node] = (int32_t)(end - beg);
-  // Tight f32-SOUND geometry: the node box comes from the node's OWN
-  // points (double accumulation), never halved from the parent cube — at
-  // large coordinate magnitudes the f32 rounding of a halved center
-  // exceeds deep-node nominal radii, and the query's cube-distance prune
-  // becomes unsound (misses true neighbors; range-robustness fuzz). The
-  // radius is inflated by a few ulps of the coordinate magnitude so
-  // |q - c| - r stays a true lower bound under f32 query arithmetic.
-  // Tight boxes also prune strictly harder than nominal octant cubes.
+// Tight f32-SOUND geometry for points pts[3*b .. 3*e): the node box comes
+// from the node's OWN points (double accumulation), never halved from the
+// parent cube — at large coordinate magnitudes the f32 rounding of a
+// halved center exceeds deep-node nominal radii, and the query's
+// cube-distance prune becomes unsound (misses true neighbors;
+// range-robustness fuzz). The radius is inflated by a few ulps of the
+// coordinate magnitude so |q - c| - r stays a true lower bound under f32
+// query arithmetic. Tight boxes also prune strictly harder than nominal
+// octant cubes.
+inline void oct_node_geom(const float* pts, int64_t b, int64_t e,
+                          float* c_out, float* rad_out) {
   double lo[3] = {INFINITY, INFINITY, INFINITY};
   double hi[3] = {-INFINITY, -INFINITY, -INFINITY};
-  for (int64_t i = beg; i < end; ++i) {
-    const float* pt = ctx.refs + 3 * (size_t)ctx.order[i];
+  for (int64_t i = b; i < e; ++i) {
+    const float* pt = pts + 3 * i;
     for (int d = 0; d < 3; ++d) {
       lo[d] = std::min(lo[d], (double)pt[d]);
       hi[d] = std::max(hi[d], (double)pt[d]);
     }
   }
-  float c[3];
   double radd = 0.0, cmag = 0.0;
   for (int d = 0; d < 3; ++d) {
-    c[d] = (float)((lo[d] + hi[d]) * 0.5);
-    radd = std::max(radd, std::max(hi[d] - (double)c[d], (double)c[d] - lo[d]));
-    cmag = std::max(cmag, std::fabs((double)c[d]));
+    c_out[d] = (float)((lo[d] + hi[d]) * 0.5);
+    radd = std::max(radd,
+                    std::max(hi[d] - (double)c_out[d], (double)c_out[d] - lo[d]));
+    cmag = std::max(cmag, std::fabs((double)c_out[d]));
   }
-  const float rad = (float)(radd + 1.2e-6 * (cmag + radd) + 1e-30);
-  std::memcpy(ctx.centers + 3 * (size_t)node, c, 3 * sizeof(float));
-  ctx.radii[node] = rad;
-  for (int o = 0; o < 8; ++o) ctx.children[8 * (size_t)node + o] = -1;
-
-  if (depth >= ctx.max_depth || end - beg <= 1) return node;  // leaf
-
-  // Partition the order slice into the 8 octants (stable, id-ascending
-  // within octant, matching the vectorized numpy build).
-  int64_t cnt[8] = {0};
-  auto oct_of = [&](int32_t p) {
-    const float* pt = ctx.refs + 3 * (size_t)p;
-    return ((pt[0] > c[0]) ? 1 : 0) | ((pt[1] > c[1]) ? 2 : 0) |
-           ((pt[2] > c[2]) ? 4 : 0);
-  };
-  for (int64_t i = beg; i < end; ++i) cnt[oct_of(ctx.order[i])]++;
-  int64_t offs[9] = {0};
-  for (int o = 0; o < 8; ++o) offs[o + 1] = offs[o] + cnt[o];
-  // Stage the partition in the shared scratch slice for this range: a
-  // per-node std::vector here costs ~1.5M allocations across a 1M-point
-  // build (measured ~6 s of the build); sibling ranges are disjoint and a
-  // parent's staging is consumed before its children run, so one n-sized
-  // scratch indexed by `beg` is race-free in DFS order.
-  int32_t* tmp = ctx.scratch + beg;
-  int64_t cursor[8];
-  std::memcpy(cursor, offs, 8 * sizeof(int64_t));
-  for (int64_t i = beg; i < end; ++i) {
-    int32_t p = ctx.order[i];
-    tmp[cursor[oct_of(p)]++] = p;
-  }
-  std::memcpy(ctx.order + beg, tmp, (end - beg) * sizeof(int32_t));
-
-  for (int o = 0; o < 8; ++o) {
-    if (cnt[o] == 0) continue;
-    int child = oct_rec(ctx, beg + offs[o], beg + offs[o + 1], depth + 1);
-    if (child < 0) return -1;
-    ctx.children[8 * (size_t)node + o] = child;
-  }
-  return node;
+  *rad_out = (float)(radd + 1.2e-6 * (cmag + radd) + 1e-30);
 }
+
+struct OctSeg {
+  int64_t beg, end;
+  int32_t node;
+};
 
 }  // namespace
 
@@ -350,15 +321,156 @@ int nns_octree_build(int k, int n, const float* refs, int32_t* children,
                      float* centers, float* radii, int32_t* starts,
                      int32_t* counts, int32_t* order, int max_depth) {
   if (k != 3 || n < 1) return -1;
-  for (int i = 0; i < n; ++i) order[i] = i;
-  std::vector<int32_t> scratch((size_t)n);
-  // max_nodes is implied by the caller's allocation: 4n + 64 (see build.py).
-  // Node geometry (incl. the root's) is derived per node from its own
-  // points inside oct_rec.
-  OctCtx ctx{refs, children, centers, radii, starts, counts, order,
-             4 * n + 64, 0, max_depth, scratch.data()};
-  if (oct_rec(ctx, 0, n, 0) < 0) return -1;
-  return ctx.n_nodes;
+  const int64_t max_nodes = 2 * (int64_t)n + 64;  // caller's allocation
+
+  // 1. Tight root box (f64).
+  double lo[3] = {INFINITY, INFINITY, INFINITY};
+  double hi[3] = {-INFINITY, -INFINITY, -INFINITY};
+  for (int64_t i = 0; i < n; ++i)
+    for (int d = 0; d < 3; ++d) {
+      const double v = refs[3 * i + d];
+      lo[d] = std::min(lo[d], v);
+      hi[d] = std::max(hi[d], v);
+    }
+
+  // 2. 63-bit Morton keys: 21 grid bits per dim over the root box,
+  // interleaved with dim 0 in the low bit of each 3-bit group (the same
+  // x|y<<1|z<<2 octant convention as the numpy build; the query never
+  // reads octant ids, only the children table).
+  double scale[3];
+  for (int d = 0; d < 3; ++d) {
+    const double ext = hi[d] - lo[d];
+    scale[d] = ext > 0 ? 2097151.0 / ext : 0.0;
+  }
+  std::vector<uint64_t> key((size_t)n), key2((size_t)n);
+  std::vector<int32_t> id((size_t)n), id2((size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t u[3];
+    for (int d = 0; d < 3; ++d) {
+      double g = ((double)refs[3 * i + d] - lo[d]) * scale[d];
+      g = std::min(std::max(g, 0.0), 2097151.0);
+      u[d] = (uint64_t)g;
+    }
+    key[i] = oct_expand21(u[0]) | (oct_expand21(u[1]) << 1) |
+             (oct_expand21(u[2]) << 2);
+    id[i] = (int32_t)i;
+  }
+
+  // 3. LSD radix sort of (key, id), 4 passes x 16 bits. Stable with ids
+  // initialized ascending, so equal keys (duplicate / ultra-close points)
+  // keep id-ascending leaf order like the recursive build did.
+  {
+    std::vector<int64_t> hist(65536);
+    for (int pass = 0; pass < 4; ++pass) {
+      const int shift = 16 * pass;
+      std::fill(hist.begin(), hist.end(), 0);
+      for (int64_t i = 0; i < n; ++i) hist[(key[i] >> shift) & 0xffff]++;
+      int64_t run = 0;
+      for (int b = 0; b < 65536; ++b) {
+        const int64_t c = hist[b];
+        hist[b] = run;
+        run += c;
+      }
+      for (int64_t i = 0; i < n; ++i) {
+        const int64_t dst = hist[(key[i] >> shift) & 0xffff]++;
+        key2[dst] = key[i];
+        id2[dst] = id[i];
+      }
+      key.swap(key2);
+      id.swap(id2);
+    }
+  }
+
+  // 4. Physically reorder the points once so every later scan (node
+  // geometry, split runs) is sequential — the recursive build's dominant
+  // cost was the refs[order[i]] gather repeated per level.
+  std::vector<float> pts(3 * (size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const float* src = refs + 3 * (size_t)id[i];
+    pts[3 * i + 0] = src[0];
+    pts[3 * i + 1] = src[1];
+    pts[3 * i + 2] = src[2];
+    order[i] = id[i];
+  }
+
+  // 5. Level-by-level construction. Per level: run-scan each splittable
+  // segment's keys at its first-differing 3-bit group, allocate child
+  // node ids by prefix (deterministic BFS numbering), then fill child
+  // node arrays in parallel.
+  starts[0] = 0;
+  counts[0] = n;
+  oct_node_geom(pts.data(), 0, n, centers, radii);
+  for (int o = 0; o < 8; ++o) children[o] = -1;
+  int64_t n_nodes = 1;
+
+  std::vector<OctSeg> cur, next;
+  if (n > 1 && max_depth > 0 && key[0] != key[(size_t)n - 1])
+    cur.push_back({0, n, 0});
+
+  struct SegKids {
+    int64_t beg[8], end[8];
+    int oct[8];
+    int cnt;
+  };
+  std::vector<SegKids> kids;
+  for (int depth = 1; !cur.empty(); ++depth) {
+    const int64_t S = (int64_t)cur.size();
+    kids.assign((size_t)S, SegKids{});
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t s = 0; s < S; ++s) {
+      const OctSeg seg = cur[(size_t)s];
+      // First 3-bit group (from the top) where the segment's keys differ.
+      const uint64_t x = key[(size_t)seg.beg] ^ key[(size_t)seg.end - 1];
+      const int g = ((63 - __builtin_clzll(x)) / 3) * 3;
+      SegKids& sk = kids[(size_t)s];
+      int64_t i = seg.beg;
+      while (i < seg.end) {
+        const uint64_t v = (key[(size_t)i] >> g) & 7;
+        int64_t j = i + 1;
+        while (j < seg.end && ((key[(size_t)j] >> g) & 7) == v) ++j;
+        sk.beg[sk.cnt] = i;
+        sk.end[sk.cnt] = j;
+        sk.oct[sk.cnt++] = (int)v;
+        i = j;
+      }
+    }
+    // Allocate ids (serial prefix over segments, BFS order).
+    std::vector<int64_t> base((size_t)S);
+    for (int64_t s = 0; s < S; ++s) {
+      base[(size_t)s] = n_nodes;
+      n_nodes += kids[(size_t)s].cnt;
+    }
+    if (n_nodes > max_nodes) return -1;
+    next.clear();
+#pragma omp parallel for schedule(dynamic, 16)
+    for (int64_t s = 0; s < S; ++s) {
+      const SegKids& sk = kids[(size_t)s];
+      for (int c = 0; c < sk.cnt; ++c) {
+        const int64_t node = base[(size_t)s] + c;
+        children[8 * (size_t)cur[(size_t)s].node + sk.oct[c]] = (int32_t)node;
+        starts[node] = (int32_t)sk.beg[c];
+        counts[node] = (int32_t)(sk.end[c] - sk.beg[c]);
+        oct_node_geom(pts.data(), sk.beg[c], sk.end[c], centers + 3 * node,
+                      radii + node);
+        for (int o = 0; o < 8; ++o) children[8 * (size_t)node + o] = -1;
+      }
+    }
+    if (depth < max_depth)
+      for (int64_t s = 0; s < S; ++s) {
+        const SegKids& sk = kids[(size_t)s];
+        for (int c = 0; c < sk.cnt; ++c)
+          if (sk.end[c] - sk.beg[c] > 1 &&
+              key[(size_t)sk.beg[c]] != key[(size_t)sk.end[c] - 1])
+            next.push_back({sk.beg[c], sk.end[c],
+                            (int32_t)(base[(size_t)s] + c)});
+      }
+    else
+      next.clear();
+    cur.swap(next);
+  }
+  return (int)n_nodes;
 }
 
 }  // extern "C" (reopened below — templates cannot have C linkage)

@@ -70,7 +70,7 @@ class Octree:
         fuzz). The radius is inflated by a few ulps of the coordinate
         magnitude so |q - c| - r stays a true lower bound under f32 query
         arithmetic; tight boxes also prune strictly harder than nominal
-        octant cubes. Mirrors oct_rec in native/nns_cpu.cpp."""
+        octant cubes. Mirrors oct_node_geom in native/nns_cpu.cpp."""
         cen = ((lo + hi) * 0.5).astype(np.float32)
         c64 = cen.astype(np.float64)
         radd = np.maximum(hi - c64, c64 - lo).max(axis=1)
