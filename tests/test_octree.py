@@ -109,3 +109,31 @@ def test_octree_beam_certificate_coverage():
     idx, ok = tree.device_index().query_with_flags(q, beam=8)
     assert ok.mean() >= 0.95
     assert_exact(tree.device_index().query_exact(q), q, r)
+
+
+def test_octree_degenerate_builds():
+    # Morton-build edge cases: single point, all-identical points (keys
+    # equal -> root leaf), a degenerate (zero-extent) dimension, and two
+    # points closer than the 21-bit grid resolution (same key -> shared
+    # leaf; the leaf scan keeps the query exact).
+    q = np.array([[0.2, 0.2, 0.2], [0.9, 0.1, 0.5]], dtype=np.float32)
+    for r in (
+        np.array([[0.5, 0.5, 0.5]], np.float32),
+        np.repeat(np.array([[0.25, 0.5, 0.75]], np.float32), 50, axis=0),
+        np.column_stack(
+            [
+                np.linspace(0, 1, 64, dtype=np.float32),
+                np.full(64, 0.3, np.float32),
+                np.linspace(1, 0, 64, dtype=np.float32),
+            ]
+        ),
+        np.array(
+            [[0.1, 0.1, 0.1], [0.1 + 1e-9, 0.1, 0.1], [0.9, 0.9, 0.9]],
+            np.float32,
+        ),
+    ):
+        tree = Octree.build(r)
+        is_leaf = tree.children.max(axis=1) < 0
+        assert tree.count[is_leaf].sum() == r.shape[0]
+        assert_exact(tree.query_host(q), q, r)
+        assert_exact(tree.query_device(q), q, r)
