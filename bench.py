@@ -14,7 +14,7 @@ Protocol (mirrors the reference's, SURVEY.md §6): seeded data (seed 1000),
 index build + query staging timed separately (the reference prints tree
 build time separately, core.cu:1158-1159), warm-up excluded
 (core.cu:1900-1933 analog). The headline is pipelined device throughput of
-the STAGED-QUEUE drain: W = 160 DISTINCT 10K-query batches, staged and
+the STAGED-QUEUE drain: W = 448 DISTINCT 10K-query batches, staged and
 uploaded upfront as a serving front-end holds an accumulated backlog, are
 drained by ONE device program (one dispatch — per-dispatch overhead through
 tunneled runtimes is ~1 ms regardless of program size), and the timed
@@ -26,11 +26,15 @@ are measured and logged alongside — neither is the headline, and every
 quote of the headline must name the staged-queue protocol (they pipeline
 against the next drain in a steady-state server).
 
-W = 160 sits at the measured knee of fetch-floor amortization (the sync
+W = 448 sits at the measured knee of fetch-floor amortization (the sync
 fetch costs ~35 ms REGARDLESS of size through the tunnel and does not
-overlap with compute; the scans themselves are ~0.09 ms/batch): measured
-per-batch 1.66 ms at W=32, 1.25 at 64, 1.07 at 96, ~1.0 at 128, 0.92-0.96
-at 160-192 with the round-2 kernel, all in one process.
+overlap with compute; the scans themselves are ~0.09 ms/batch). With the
+round-2 kernel the knee was W=160 (1.66 ms/batch at W=32 down to 0.92-0.96
+at 160-192); the round-3 kernel's lower device floor pushed it out:
+measured per-batch 0.67 at W=160, 0.58 at 256, 0.556 at 320, 0.523 at 448,
+0.494 at 640, all one process. Past 448 the gain (~5%) no longer justifies
+the one-time compile (107 s at W=640 vs 51 s, persistent-cached) and
+staging growth.
 
 Robustness: the tunnel's throughput swings 2-3x between minutes (identical
 code measured 1.46-4.1 ms/batch across one round-2 session, and the round-2
@@ -58,7 +62,7 @@ K = 3
 SEED = 1000
 BASELINE_QPS = 2_000_000.0  # north-star target (see module docstring)
 
-W = 160           # distinct staged batches, drained by one device program
+W = 448           # distinct staged batches, drained by one device program
 MIN_TRIALS = 12
 MAX_TRIALS = 96
 PATIENCE = 10     # stop when the best hasn't improved for this many trials
