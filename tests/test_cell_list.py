@@ -222,6 +222,11 @@ def test_query_queue_matches_single_batch():
     batches = [rng.random((500, 3), dtype=np.float32) for _ in range(3)]
     dstack, fstack, orders = eng.stage_queue(batches)
     out = np.asarray(eng.query_queue_staged(dstack))
+    # The slice-free tuple drain (the bench headline path) must produce
+    # identical rows to the stacked drain.
+    out_t = eng.query_queue_staged(tuple(dstack))
+    assert isinstance(out_t, tuple) and len(out_t) == len(batches)
+    np.testing.assert_array_equal(out, np.stack([np.asarray(o) for o in out_t]))
     for w, qb in enumerate(batches):
         idx_q, ok_q = eng.unscatter_queue(out[w], fstack[w], orders[w])
         idx_single, ok_single = eng.query_with_flags(qb)
