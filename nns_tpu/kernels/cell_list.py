@@ -234,12 +234,9 @@ def _device_query_queue(dstack, halo_dm, halo_ids, halo2,
     itself — while the dense i32 result only grows the fetch by ~56 KB).
     The body is UNROLLED: a lax.scan formulation re-stages the
     loop-invariant halo tensors per iteration and measured ~15% slower."""
-    outs = []
-    for w in range(dstack.shape[0]):
-        _, sgid = _cell_scan(dstack[w], halo_dm, halo_ids, halo2,
-                             interpret, group_batch)
-        outs.append(sgid[:, :, 0].reshape(-1))
-    return jnp.stack(outs)
+    rows = _drain_rows((dstack[w] for w in range(dstack.shape[0])),
+                       halo_dm, halo_ids, halo2, interpret, group_batch)
+    return jnp.stack(rows)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "group_batch"))
@@ -251,12 +248,19 @@ def _device_query_queue_seq(ds_seq, halo_dm, halo_ids, halo2,
     W-way stack measured 0.67 -> 0.57 ms/batch at W=160 on the real chip —
     the headline bench path. The stacked form stays for consumers that
     download the whole result (one array = one tunnel fetch)."""
-    outs = []
-    for d in ds_seq:
+    return tuple(_drain_rows(ds_seq, halo_dm, halo_ids, halo2,
+                             interpret, group_batch))
+
+
+def _drain_rows(ds_iter, halo_dm, halo_ids, halo2, interpret, group_batch):
+    """Shared drain body: one scan per batch, winner row extracted from the
+    sign-encoded id plane — the single place the queue output layout lives."""
+    rows = []
+    for d in ds_iter:
         _, sgid = _cell_scan(d, halo_dm, halo_ids, halo2,
                              interpret, group_batch)
-        outs.append(sgid[:, :, 0].reshape(-1))
-    return tuple(outs)
+        rows.append(sgid[:, :, 0].reshape(-1))
+    return rows
 
 
 @functools.partial(jax.jit, static_argnames=("k_nn", "q_max", "g_total", "interpret"))

@@ -72,11 +72,13 @@ def load_library() -> ctypes.CDLL | None:
             ctypes.c_int, ctypes.c_int, f32p, i32p, i32p,
         ]
         lib.nns_kd_build.restype = ctypes.c_int
-        lib.nns_octree_build.argtypes = [
-            ctypes.c_int, ctypes.c_int, f32p,
-            i32p, f32p, f32p, i32p, i32p, i32p, ctypes.c_int,
-        ]
-        lib.nns_octree_build.restype = ctypes.c_int
+        if hasattr(lib, "nns_octree_build_v2"):
+            lib.nns_octree_build_v2.argtypes = [
+                ctypes.c_int, ctypes.c_int, f32p,
+                i32p, f32p, f32p, i32p, i32p, i32p, ctypes.c_int,
+                ctypes.c_int64,
+            ]
+            lib.nns_octree_build_v2.restype = ctypes.c_int
         lib.nns_kd_query.argtypes = [
             ctypes.c_int, ctypes.c_int, ctypes.c_int64, f32p, f32p, i32p, i32p, i32p,
         ]
@@ -241,12 +243,15 @@ def native_octree_build(refs: np.ndarray, max_depth: int):
     lib = load_library()
     if lib is None:
         return None
+    if not hasattr(lib, "nns_octree_build_v2"):
+        return None  # stale library predating the v2 ABI -> numpy fallback
     r = np.ascontiguousarray(refs, dtype=np.float32)
     n, k = r.shape
     if k != 3:
         return None
-    # Matches the C++ bound (nns_cpu.cpp): every internal node of the
-    # Morton build has >= 2 children, so node count < 2n.
+    # Every internal node of the Morton build has >= 2 children, so node
+    # count < 2n. The bound is PASSED to the library (v2 ABI) so the C
+    # side always honors this allocation, whatever bound it was built with.
     max_nodes = 2 * n + 64
     children = np.empty((max_nodes, 8), dtype=np.int32)
     centers = np.empty((max_nodes, 3), dtype=np.float32)
@@ -254,9 +259,9 @@ def native_octree_build(refs: np.ndarray, max_depth: int):
     starts = np.empty(max_nodes, dtype=np.int32)
     counts = np.empty(max_nodes, dtype=np.int32)
     order = np.empty(n, dtype=np.int32)
-    n_nodes = lib.nns_octree_build(
+    n_nodes = lib.nns_octree_build_v2(
         k, n, r, children.reshape(-1), centers.reshape(-1), radii, starts,
-        counts, order, max_depth,
+        counts, order, max_depth, max_nodes,
     )
     if n_nodes <= 0 or n_nodes > max_nodes:
         return None

@@ -260,12 +260,14 @@ void nns_octree_query(int m, const float* refs, const float* queries,
 // sorted once by interleaved 21-bit grid coordinates over the tight root
 // box, after which every node's range is contiguous and each split is a
 // run-scan of the sorted keys. Splits skip empty levels (a node splits at
-// the FIRST 3-bit group where its keys differ), so tight clusters keep
-// resolving instead of collapsing into one deep grid cell — the same
-// adaptivity the tight-center recursive build had. One split counts as one
-// depth unit against max_depth; leaf when depth >= max_depth, count <= 1,
-// or all keys equal (points closer than 2^-21 of the root extent).
-// Returns node count, or -1 on overflow / bad input.
+// the FIRST 3-bit group where its keys differ), and a node whose points
+// exhaust the 21-bit grid resolution (all keys equal but points distinct —
+// e.g. a dense cluster dwarfed by one far outlier in the root box) is
+// RE-QUANTIZED over its own tight box and built recursively, so clusters
+// keep resolving at any coordinate scale — the same adaptivity the
+// tight-center recursive build had. One split counts as one depth unit
+// against max_depth; leaf when depth >= max_depth, count <= 1, or all
+// points identical. Returns node count, or -1 on overflow / bad input.
 // ---------------------------------------------------------------------------
 namespace {
 
@@ -315,99 +317,117 @@ struct OctSeg {
   int32_t node;
 };
 
-}  // namespace
+struct OctBuild {
+  int32_t* children;
+  float* centers;
+  float* radii;
+  int32_t* starts;
+  int32_t* counts;
+  int32_t* order;     // (n,) permutation, kept in sync with pts
+  float* pts;         // (n, 3) points physically reordered to match order
+  uint64_t* key;      // (n,) Morton keys, current for each built range
+  int64_t max_nodes;
+  int64_t n_nodes;
+  int max_depth;
+  // radix / permutation scratch, each n-sized
+  uint64_t* key2;
+  int32_t* idx;
+  int32_t* idx2;
+  int32_t* ord2;
+  float* pts2;
+};
 
-int nns_octree_build(int k, int n, const float* refs, int32_t* children,
-                     float* centers, float* radii, int32_t* starts,
-                     int32_t* counts, int32_t* order, int max_depth) {
-  if (k != 3 || n < 1) return -1;
-  const int64_t max_nodes = 2 * (int64_t)n + 64;  // caller's allocation
-
-  // 1. Tight root box (f64).
+// Quantize pts[beg..end) to 63-bit Morton keys over the subrange's own
+// tight box, LSD-radix-sort the subrange, and apply the permutation to
+// order/pts in place. Stable with slot-ascending tie ids, so equal keys
+// (duplicate points) keep the id-ascending order the initial range had.
+void oct_quantize_sort(OctBuild& B, int64_t beg, int64_t end) {
+  const int64_t L = end - beg;
   double lo[3] = {INFINITY, INFINITY, INFINITY};
   double hi[3] = {-INFINITY, -INFINITY, -INFINITY};
-  for (int64_t i = 0; i < n; ++i)
+  for (int64_t i = beg; i < end; ++i)
     for (int d = 0; d < 3; ++d) {
-      const double v = refs[3 * i + d];
+      const double v = B.pts[3 * i + d];
       lo[d] = std::min(lo[d], v);
       hi[d] = std::max(hi[d], v);
     }
-
-  // 2. 63-bit Morton keys: 21 grid bits per dim over the root box,
-  // interleaved with dim 0 in the low bit of each 3-bit group (the same
-  // x|y<<1|z<<2 octant convention as the numpy build; the query never
-  // reads octant ids, only the children table).
   double scale[3];
   for (int d = 0; d < 3; ++d) {
     const double ext = hi[d] - lo[d];
     scale[d] = ext > 0 ? 2097151.0 / ext : 0.0;
   }
-  std::vector<uint64_t> key((size_t)n), key2((size_t)n);
-  std::vector<int32_t> id((size_t)n), id2((size_t)n);
 #pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < n; ++i) {
+  for (int64_t i = beg; i < end; ++i) {
     uint64_t u[3];
     for (int d = 0; d < 3; ++d) {
-      double g = ((double)refs[3 * i + d] - lo[d]) * scale[d];
+      double g = ((double)B.pts[3 * i + d] - lo[d]) * scale[d];
       g = std::min(std::max(g, 0.0), 2097151.0);
       u[d] = (uint64_t)g;
     }
-    key[i] = oct_expand21(u[0]) | (oct_expand21(u[1]) << 1) |
-             (oct_expand21(u[2]) << 2);
-    id[i] = (int32_t)i;
+    B.key[i] = oct_expand21(u[0]) | (oct_expand21(u[1]) << 1) |
+               (oct_expand21(u[2]) << 2);
+    B.idx[i] = (int32_t)(i - beg);
   }
-
-  // 3. LSD radix sort of (key, id), 4 passes x 16 bits. Stable with ids
-  // initialized ascending, so equal keys (duplicate / ultra-close points)
-  // keep id-ascending leaf order like the recursive build did.
-  {
-    std::vector<int64_t> hist(65536);
-    for (int pass = 0; pass < 4; ++pass) {
-      const int shift = 16 * pass;
-      std::fill(hist.begin(), hist.end(), 0);
-      for (int64_t i = 0; i < n; ++i) hist[(key[i] >> shift) & 0xffff]++;
-      int64_t run = 0;
-      for (int b = 0; b < 65536; ++b) {
-        const int64_t c = hist[b];
-        hist[b] = run;
-        run += c;
-      }
-      for (int64_t i = 0; i < n; ++i) {
-        const int64_t dst = hist[(key[i] >> shift) & 0xffff]++;
-        key2[dst] = key[i];
-        id2[dst] = id[i];
-      }
-      key.swap(key2);
-      id.swap(id2);
+  // 4 passes x 16 bits over (key, slot) pairs.
+  int64_t hist[65536];
+  uint64_t* ka = B.key + beg;
+  uint64_t* kb = B.key2 + beg;
+  int32_t* ia = B.idx + beg;
+  int32_t* ib = B.idx2 + beg;
+  for (int pass = 0; pass < 4; ++pass) {
+    const int shift = 16 * pass;
+    std::fill(hist, hist + 65536, 0);
+    for (int64_t i = 0; i < L; ++i) hist[(ka[i] >> shift) & 0xffff]++;
+    int64_t run = 0;
+    for (int b = 0; b < 65536; ++b) {
+      const int64_t c = hist[b];
+      hist[b] = run;
+      run += c;
     }
+    for (int64_t i = 0; i < L; ++i) {
+      const int64_t dst = hist[(ka[i] >> shift) & 0xffff]++;
+      kb[dst] = ka[i];
+      ib[dst] = ia[i];
+    }
+    std::swap(ka, kb);
+    std::swap(ia, ib);
   }
-
-  // 4. Physically reorder the points once so every later scan (node
-  // geometry, split runs) is sequential — the recursive build's dominant
-  // cost was the refs[order[i]] gather repeated per level.
-  std::vector<float> pts(3 * (size_t)n);
+  if (ka != B.key + beg) {
+    std::memcpy(B.key + beg, ka, (size_t)L * sizeof(uint64_t));
+    std::memcpy(B.idx + beg, ia, (size_t)L * sizeof(int32_t));
+  }
+  // Apply the permutation to order and pts (one gather each, via scratch).
 #pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < n; ++i) {
-    const float* src = refs + 3 * (size_t)id[i];
-    pts[3 * i + 0] = src[0];
-    pts[3 * i + 1] = src[1];
-    pts[3 * i + 2] = src[2];
-    order[i] = id[i];
+  for (int64_t i = 0; i < L; ++i) {
+    const int64_t src = beg + B.idx[beg + i];
+    B.ord2[beg + i] = B.order[src];
+    B.pts2[3 * (beg + i) + 0] = B.pts[3 * src + 0];
+    B.pts2[3 * (beg + i) + 1] = B.pts[3 * src + 1];
+    B.pts2[3 * (beg + i) + 2] = B.pts[3 * src + 2];
   }
+  std::memcpy(B.order + beg, B.ord2 + beg, (size_t)L * sizeof(int32_t));
+  std::memcpy(B.pts + 3 * beg, B.pts2 + 3 * beg, (size_t)L * 3 * sizeof(float));
+}
 
-  // 5. Level-by-level construction. Per level: run-scan each splittable
-  // segment's keys at its first-differing 3-bit group, allocate child
-  // node ids by prefix (deterministic BFS numbering), then fill child
-  // node arrays in parallel.
-  starts[0] = 0;
-  counts[0] = n;
-  oct_node_geom(pts.data(), 0, n, centers, radii);
-  for (int o = 0; o < 8; ++o) children[o] = -1;
-  int64_t n_nodes = 1;
-
+// Level-by-level construction of the subtree under `parent` covering
+// [beg, end) whose node was created at depth0, using the range's current
+// keys. Saturated leaves (count > 1, depth budget left, but all keys
+// equal while points differ) are re-quantized over their own tight box
+// and recursed. Returns false on node overflow.
+bool oct_build_subtree(OctBuild& B, int32_t parent, int64_t beg, int64_t end,
+                       int depth0) {
+  struct Sat {
+    int64_t beg, end;
+    int32_t node;
+    int depth;
+  };
   std::vector<OctSeg> cur, next;
-  if (n > 1 && max_depth > 0 && key[0] != key[(size_t)n - 1])
-    cur.push_back({0, n, 0});
+  std::vector<Sat> sats;
+  if (end - beg > 1 && depth0 < B.max_depth &&
+      B.key[beg] != B.key[end - 1])
+    cur.push_back({beg, end, parent});
+  else if (end - beg > 1 && depth0 < B.max_depth)
+    sats.push_back({beg, end, parent, depth0});
 
   struct SegKids {
     int64_t beg[8], end[8];
@@ -415,21 +435,22 @@ int nns_octree_build(int k, int n, const float* refs, int32_t* children,
     int cnt;
   };
   std::vector<SegKids> kids;
-  for (int depth = 1; !cur.empty(); ++depth) {
+  std::vector<int64_t> base;
+  for (int depth = depth0 + 1; !cur.empty(); ++depth) {
     const int64_t S = (int64_t)cur.size();
     kids.assign((size_t)S, SegKids{});
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t s = 0; s < S; ++s) {
       const OctSeg seg = cur[(size_t)s];
       // First 3-bit group (from the top) where the segment's keys differ.
-      const uint64_t x = key[(size_t)seg.beg] ^ key[(size_t)seg.end - 1];
+      const uint64_t x = B.key[seg.beg] ^ B.key[seg.end - 1];
       const int g = ((63 - __builtin_clzll(x)) / 3) * 3;
       SegKids& sk = kids[(size_t)s];
       int64_t i = seg.beg;
       while (i < seg.end) {
-        const uint64_t v = (key[(size_t)i] >> g) & 7;
+        const uint64_t v = (B.key[i] >> g) & 7;
         int64_t j = i + 1;
-        while (j < seg.end && ((key[(size_t)j] >> g) & 7) == v) ++j;
+        while (j < seg.end && ((B.key[j] >> g) & 7) == v) ++j;
         sk.beg[sk.cnt] = i;
         sk.end[sk.cnt] = j;
         sk.oct[sk.cnt++] = (int)v;
@@ -437,40 +458,106 @@ int nns_octree_build(int k, int n, const float* refs, int32_t* children,
       }
     }
     // Allocate ids (serial prefix over segments, BFS order).
-    std::vector<int64_t> base((size_t)S);
+    base.assign((size_t)S, 0);
     for (int64_t s = 0; s < S; ++s) {
-      base[(size_t)s] = n_nodes;
-      n_nodes += kids[(size_t)s].cnt;
+      base[(size_t)s] = B.n_nodes;
+      B.n_nodes += kids[(size_t)s].cnt;
     }
-    if (n_nodes > max_nodes) return -1;
-    next.clear();
+    if (B.n_nodes > B.max_nodes) return false;
 #pragma omp parallel for schedule(dynamic, 16)
     for (int64_t s = 0; s < S; ++s) {
       const SegKids& sk = kids[(size_t)s];
       for (int c = 0; c < sk.cnt; ++c) {
         const int64_t node = base[(size_t)s] + c;
-        children[8 * (size_t)cur[(size_t)s].node + sk.oct[c]] = (int32_t)node;
-        starts[node] = (int32_t)sk.beg[c];
-        counts[node] = (int32_t)(sk.end[c] - sk.beg[c]);
-        oct_node_geom(pts.data(), sk.beg[c], sk.end[c], centers + 3 * node,
-                      radii + node);
-        for (int o = 0; o < 8; ++o) children[8 * (size_t)node + o] = -1;
+        B.children[8 * (size_t)cur[(size_t)s].node + sk.oct[c]] =
+            (int32_t)node;
+        B.starts[node] = (int32_t)sk.beg[c];
+        B.counts[node] = (int32_t)(sk.end[c] - sk.beg[c]);
+        oct_node_geom(B.pts, sk.beg[c], sk.end[c], B.centers + 3 * node,
+                      B.radii + node);
+        for (int o = 0; o < 8; ++o) B.children[8 * (size_t)node + o] = -1;
       }
     }
-    if (depth < max_depth)
+    next.clear();
+    if (depth < B.max_depth)
       for (int64_t s = 0; s < S; ++s) {
         const SegKids& sk = kids[(size_t)s];
-        for (int c = 0; c < sk.cnt; ++c)
-          if (sk.end[c] - sk.beg[c] > 1 &&
-              key[(size_t)sk.beg[c]] != key[(size_t)sk.end[c] - 1])
-            next.push_back({sk.beg[c], sk.end[c],
-                            (int32_t)(base[(size_t)s] + c)});
+        for (int c = 0; c < sk.cnt; ++c) {
+          if (sk.end[c] - sk.beg[c] <= 1) continue;
+          const int32_t node = (int32_t)(base[(size_t)s] + c);
+          if (B.key[sk.beg[c]] != B.key[sk.end[c] - 1])
+            next.push_back({sk.beg[c], sk.end[c], node});
+          else
+            sats.push_back({sk.beg[c], sk.end[c], node, depth});
+        }
       }
-    else
-      next.clear();
     cur.swap(next);
   }
-  return (int)n_nodes;
+  // Saturated ranges: identical keys at the current grid, distinct points
+  // (zero tight extent in every dim means true duplicates -> real leaf).
+  // Re-quantizing over the range's own tight box always separates the
+  // extremes (min/max land in grid cells 0 and 2^21-1), so each level of
+  // recursion splits at least once and the depth budget bounds it.
+  for (const Sat& sat : sats) {
+    const float* p0 = B.pts + 3 * sat.beg;
+    bool distinct = false;
+    for (int64_t i = sat.beg + 1; i < sat.end && !distinct; ++i)
+      for (int d = 0; d < 3; ++d)
+        if (B.pts[3 * i + d] != p0[d]) {
+          distinct = true;
+          break;
+        }
+    if (!distinct) continue;
+    oct_quantize_sort(B, sat.beg, sat.end);
+    if (!oct_build_subtree(B, sat.node, sat.beg, sat.end, sat.depth))
+      return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+// The caller passes its actual node allocation (max_nodes) so the bound
+// can never silently diverge between the Python buffers and this library
+// (a stale .so with a baked-in larger bound would otherwise overrun them).
+int nns_octree_build_v2(int k, int n, const float* refs, int32_t* children,
+                        float* centers, float* radii, int32_t* starts,
+                        int32_t* counts, int32_t* order, int max_depth,
+                        int64_t max_nodes) {
+  if (k != 3 || n < 1 || max_nodes < 1) return -1;
+
+  std::vector<float> pts(3 * (size_t)n), pts2(3 * (size_t)n);
+  std::vector<uint64_t> key((size_t)n), key2((size_t)n);
+  std::vector<int32_t> idx((size_t)n), idx2((size_t)n), ord2((size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    order[i] = (int32_t)i;
+    pts[3 * i + 0] = refs[3 * i + 0];
+    pts[3 * i + 1] = refs[3 * i + 1];
+    pts[3 * i + 2] = refs[3 * i + 2];
+  }
+  OctBuild B{children, centers,    radii,       starts,
+             counts,   order,      pts.data(),  key.data(),
+             max_nodes, 0,         max_depth,   key2.data(),
+             idx.data(), idx2.data(), ord2.data(), pts2.data()};
+
+  starts[0] = 0;
+  counts[0] = n;
+  oct_node_geom(pts.data(), 0, n, centers, radii);
+  for (int o = 0; o < 8; ++o) children[o] = -1;
+  B.n_nodes = 1;
+
+  oct_quantize_sort(B, 0, n);
+  if (!oct_build_subtree(B, 0, 0, n, 0)) return -1;
+  return (int)B.n_nodes;
+}
+
+// Legacy entry (pre-v2 ABI): assumes the caller allocated 2n + 64 nodes.
+int nns_octree_build(int k, int n, const float* refs, int32_t* children,
+                     float* centers, float* radii, int32_t* starts,
+                     int32_t* counts, int32_t* order, int max_depth) {
+  return nns_octree_build_v2(k, n, refs, children, centers, radii, starts,
+                             counts, order, max_depth, 2 * (int64_t)n + 64);
 }
 
 }  // extern "C" (reopened below — templates cannot have C linkage)

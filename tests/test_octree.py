@@ -137,3 +137,36 @@ def test_octree_degenerate_builds():
         assert tree.count[is_leaf].sum() == r.shape[0]
         assert_exact(tree.query_host(q), q, r)
         assert_exact(tree.query_device(q), q, r)
+
+
+def test_octree_cluster_with_far_outlier_still_resolves():
+    # A dense cluster dwarfed by one far outlier exhausts the fixed 21-bit
+    # Morton grid over the root box (cluster span < root_ext / 2^21). The
+    # build must re-quantize such nodes over their own tight box so the
+    # cluster keeps splitting — otherwise v12 degrades to an O(n) leaf
+    # scan on exactly the clustered workloads the octree exists for.
+    rng = np.random.default_rng(9)
+    cluster = (rng.random((20_000, 3)) * 1e-4).astype(np.float32)
+    outlier = np.array([[1e3, 1e3, 1e3]], dtype=np.float32)
+    r = np.concatenate([cluster, outlier])
+    tree = Octree.build(r)
+    is_leaf = tree.children.max(axis=1) < 0
+    assert tree.count[is_leaf].sum() == r.shape[0]
+    assert tree.count[is_leaf].max() <= 2048, (
+        "cluster collapsed into one giant leaf: max leaf count "
+        f"{tree.count[is_leaf].max()}"
+    )
+    # Exactness probes live inside the cluster where distances are
+    # f32-sharp. A probe far from the cluster sees thousands of points
+    # f64-distinct but f32-TIED (f64 gaps ~4e-9 relative at distance
+    # ~520 — below f32 resolution), so for it we assert the strongest
+    # f32 claim instead: the returned point achieves the f32-minimal
+    # distance.
+    q_in = (rng.random((64, 3)) * 1e-4).astype(np.float32)
+    assert_exact(tree.query_host(q_in), q_in, r)
+    q_far = np.array([[300.0, 300.0, 300.0]], np.float32)
+    got = int(np.asarray(tree.query_host(q_far))[0])
+    d32 = ((q_far[0] - r) ** 2).sum(axis=1)
+    assert d32[got] == d32.min()
+    # Order must remain a permutation through the re-quantization sorts.
+    np.testing.assert_array_equal(np.sort(tree.order), np.arange(r.shape[0]))
