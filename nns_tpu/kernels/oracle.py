@@ -65,6 +65,16 @@ def recall_at_1(
     so any member of an exact tie class counts (the reference's convention —
     its serial scans keep the lowest index, but exactness only requires *a*
     nearest neighbor).
+
+    Resolution caveat: the 1e-9 relative tolerance presumes candidate
+    distances are rankable in f32 (relative gaps >~ 1e-7 near the
+    minimum). Adversarial scale-mixed data can defeat that — e.g. a
+    probe ~500 away from a 1e-4-wide cluster sees thousands of points
+    whose f64 gaps (~4e-9 relative) sit BELOW f32 resolution, so every
+    f32 engine returns an f32-tied point this checker may count as a
+    miss. Probe exactness where distances are f32-sharp, or assert
+    "returned point achieves the f32-minimal distance" instead (see
+    test_octree_cluster_with_far_outlier_still_resolves).
     """
     returned_idx = np.asarray(returned_idx)
     if oracle_dmin is None:
