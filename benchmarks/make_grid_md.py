@@ -71,7 +71,7 @@ def main() -> int:
         recall_line = (
             "**RECALL REGRESSION: "
             + ", ".join(
-                f"v{r['version']} k={r['k']} m={r['m']} n={r['n']} "
+                f"{r['version']} k={r['k']} m={r['m']} n={r['n']} "
                 f"recall={r['recall_at_1']}" for r in bad
             )
             + ".**"

@@ -249,6 +249,33 @@ class NNEngine:
         self._cov_miss = 0
         self._cov_seen = 0
 
+    def _note_coverage(self, cov: float, m: int, good_cov: float,
+                       miss_frac: float) -> bool:
+        """Batch-weighted certificate-coverage hysteresis. Accumulates
+        coverage-weighted misses; returns True (and clears the history)
+        once a sustained miss rate over a real query budget (>= 128 seen,
+        > miss_frac missed) says the engine should switch. Well-covered
+        batches DECAY the history by half rather than resetting it: a
+        reset let alternating good batches mask an aggregate 40% miss
+        rate forever, while decay still shields one-off outlier batches
+        (a singleton miss fixed-points at ~1 weighted miss)."""
+        self._cov_miss += int(round((1.0 - cov) * m))
+        self._cov_seen += m
+        if cov >= good_cov:
+            self._cov_miss //= 2
+            self._cov_seen //= 2
+            return False
+        if self._cov_seen >= 128 and self._cov_miss > miss_frac * self._cov_seen:
+            self._cov_miss = 0
+            self._cov_seen = 0
+            return True
+        return False
+
+    def _promote_to_beam(self) -> None:
+        from nns_tpu.trees.octree import Octree
+
+        self._built = Octree.build(self._refs).device_index()
+
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
         _check_finite(refs, "refs")
@@ -361,28 +388,15 @@ class NNEngine:
                     # promote to the adaptive-depth octree beam index, whose
                     # buckets track the data density (measured 99.8%
                     # coverage where the fixed halo certifies 18%). Promotion
-                    # is batch-weighted WITH hysteresis, mirroring the
-                    # demotion side below: the octree build + beam staging is
-                    # a synchronous stall (~1.8 s at 1M clustered), so a single
-                    # stray outlier batch (cov 0.0 at m = 1) must never
-                    # trigger it — only a sustained miss rate over a real
-                    # query budget does.
-                    m = queries.shape[0]
-                    self._cov_miss += int(round((1.0 - cov) * m))
-                    self._cov_seen += m
-                    if cov >= 0.95:
-                        self._cov_miss = 0
-                        self._cov_seen = 0
-                    elif (
-                        self._cov_seen >= 128
-                        and self._cov_miss > 0.3 * self._cov_seen
-                        and type(self._built) is CellListEngine
-                    ):
-                        from nns_tpu.trees.octree import Octree
-
-                        self._built = Octree.build(self._refs).device_index()
-                        self._cov_miss = 0
-                        self._cov_seen = 0
+                    # is batch-weighted WITH hysteresis (see _note_coverage):
+                    # the octree build + beam staging is a synchronous stall
+                    # (~1.8 s at 1M clustered), so a single stray outlier
+                    # batch (cov 0.0 at m = 1) must never trigger it — only
+                    # a sustained miss rate over a real query budget does.
+                    if self._note_coverage(
+                        cov, queries.shape[0], good_cov=0.95, miss_frac=0.3
+                    ) and type(self._built) is CellListEngine:
+                        self._promote_to_beam()
                     return _as_idx(idx)
                 if isinstance(self._built, BeamIndex):
                     idx, cov = self._built.query_with_coverage(queries)
@@ -392,13 +406,9 @@ class NNEngine:
                     # demote to the staged fused engine. Miss counts weight
                     # by batch size so stray single-query misses cannot
                     # demote a well-covered workload.
-                    m = queries.shape[0]
-                    self._cov_miss += int(round((1.0 - cov) * m))
-                    self._cov_seen += m
-                    if cov >= 0.5:
-                        self._cov_miss = 0
-                        self._cov_seen = 0
-                    elif self._cov_seen >= 128 and self._cov_miss > 0.7 * self._cov_seen:
+                    if self._note_coverage(
+                        cov, queries.shape[0], good_cov=0.5, miss_frac=0.7
+                    ):
                         from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
                         self._built = FusedBruteForce(self._refs)
@@ -434,11 +444,33 @@ class NNEngine:
         from nns_tpu.trees.beam import BeamIndex
 
         batches = [np.atleast_2d(np.asarray(b, dtype=np.float32)) for b in batches]
+        # Same input contract as query(): the queue branches below go
+        # straight to the engines, so validate here.
+        for b in batches:
+            if b.shape[1] != self._refs.shape[1]:
+                raise ValueError(
+                    f"dimension mismatch: queries k={b.shape[1]}, "
+                    f"refs k={self._refs.shape[1]}"
+                )
+            _check_finite(b, "queries")
         if (
             isinstance(self._built, CellListEngine)
             and len({b.shape for b in batches}) == 1
         ):
-            return [_as_idx(i) for i in self._built.query_queue(batches)]
+            results, covs = self._built.query_queue(batches, return_coverage=True)
+            # The serving path feeds the same promotion hysteresis as
+            # query(): per-batch coverage accumulates, and a sustained miss
+            # rate promotes AFTER the drain (the answers of this queue are
+            # already exact via the fallback; the next queue gets the beam
+            # index).
+            promote = False
+            for qb, cov in zip(batches, covs):
+                if self._note_coverage(cov, qb.shape[0],
+                                       good_cov=0.95, miss_frac=0.3):
+                    promote = True
+            if promote and type(self._built) is CellListEngine:
+                self._promote_to_beam()
+            return [_as_idx(i) for i in results]
         if (
             isinstance(self._built, (BeamIndex, FusedBruteForce, MXUExpansion))
             and batches

@@ -591,22 +591,29 @@ class CellListEngine:
         idx = np.where(ok, got, -got - 1).astype(np.int32)
         return idx, ok
 
-    def query_queue(self, batches) -> list[np.ndarray]:
+    def query_queue(self, batches, return_coverage: bool = False):
         """EXACT answers for several equal-sized query batches in one device
         dispatch (the serving queue-drain path: ~1 ms of per-dispatch
         overhead amortizes across the whole queue). Uncertified queries in
         any batch fall back to the exact scan; a too-skewed queue falls
-        back to per-batch querying."""
+        back to per-batch querying. With ``return_coverage``, also returns
+        the per-batch certified fraction (query_with_coverage semantics) so
+        serving callers can feed workload-adaptation hysteresis."""
         dstack, fstack, orders = self.stage_queue(batches)
         if dstack is None:
-            return [self.query(qb) for qb in batches]
+            pairs = [self.query_with_coverage(qb) for qb in batches]
+            results = [idx for idx, _ in pairs]
+            return (results, [cov for _, cov in pairs]) if return_coverage \
+                else results
         out = np.asarray(self.query_queue_staged(dstack))
         results = []
+        covs = []
         for w, qb in enumerate(batches):
             idx, ok = self.unscatter_queue(out[w], fstack[w], orders[w])
             risk = self._sentinel_risk(np.asarray(qb, dtype=np.float32))
             if risk is not None:
                 ok &= ~risk
+            covs.append(float(ok.mean()) if len(ok) else 1.0)
             if not ok.all():
                 from nns_tpu.kernels.pallas_fused import fused_fallback
 
@@ -615,7 +622,7 @@ class CellListEngine:
                     np.ascontiguousarray(qb, dtype=np.float32)[bad], self.refs
                 ))
             results.append(idx)
-        return results
+        return (results, covs) if return_coverage else results
 
     def query_submit(self, queries: np.ndarray):
         """Asynchronous half: host bucketing + device dispatch. Returns a

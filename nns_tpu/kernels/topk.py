@@ -69,11 +69,12 @@ def _topk_scan(queries, refs, k_nn: int, chunk_n: int):
 def nns_topk(queries, refs, k_nn: int = 8, chunk_n: int = 65536):
     """Exact k-NN: returns (dist2[m, k_nn] f32, idx[m, k_nn] i32), sorted by
     ascending distance with lowest-index tie-break. k_nn is clamped to n."""
-    queries = jnp.asarray(np.atleast_2d(queries), dtype=jnp.float32)
-    if isinstance(refs, np.ndarray):  # stage first: numpy-through-jit is ~10x
-        refs = jax.device_put(jnp.asarray(np.atleast_2d(refs), dtype=jnp.float32))
-    else:
-        refs = jnp.asarray(refs, dtype=jnp.float32)
+    from nns_tpu.kernels.pallas_fused import stage_inputs
+
+    if isinstance(refs, np.ndarray):
+        refs = np.atleast_2d(refs)
+    queries, refs = stage_inputs(np.atleast_2d(np.asarray(queries)), refs)
+    refs = jnp.asarray(refs, dtype=jnp.float32)
     n = refs.shape[0]
     k_nn = min(k_nn, n)
     d, i = _topk_scan(queries, refs, k_nn, min(chunk_n, max(n, k_nn)))

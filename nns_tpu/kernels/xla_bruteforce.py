@@ -42,9 +42,9 @@ def _distance_matrix_idx(queries: jnp.ndarray, refs: jnp.ndarray, chunk_m: int =
 
 def nns_distance_matrix(queries: jnp.ndarray, refs: jnp.ndarray) -> jnp.ndarray:
     """v1: materialized HBM distance matrix + row argmin. Exact (direct f32)."""
-    from nns_tpu.kernels.pallas_fused import _stage_inputs
+    from nns_tpu.kernels.pallas_fused import stage_inputs
 
-    queries, refs = _stage_inputs(queries, refs)
+    queries, refs = stage_inputs(queries, refs)
     return _distance_matrix_idx(queries, refs)
 
 

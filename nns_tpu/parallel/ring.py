@@ -113,11 +113,8 @@ def nns_ring(queries, refs, mesh: Mesh | None = None,
     if mesh is None:
         mesh = best_mesh(refs.shape[0])
     if mesh.devices.size == 1:
-        import numpy as np
+        from nns_tpu.kernels.pallas_fused import nns_fused, stage_inputs
 
-        from nns_tpu.kernels.pallas_fused import nns_fused
-
-        if isinstance(refs, np.ndarray):  # stage first: numpy-through-jit is ~10x
-            refs = jax.device_put(jnp.asarray(refs, dtype=jnp.float32))
+        queries, refs = stage_inputs(queries, refs)
         return nns_fused(queries, refs, tile_m=tile_m, tile_n=tile_n)
     return ring_argmin(queries, refs, mesh, tile_m, tile_n)

@@ -253,3 +253,65 @@ def test_engine_query_many_mxu_expansion_concatenates():
     assert len(many) == len(batches)
     for qb, idx in zip(batches, many):
         assert_exact(idx, qb, r)
+
+
+def test_engine_query_many_validates_inputs():
+    # The queue branches bypass query(), so query_many must enforce the
+    # same input contract: non-finite queries and dimension mismatches
+    # raise instead of returning silent garbage.
+    rng = np.random.default_rng(50)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    bad = rng.random((8, 3), dtype=np.float32)
+    bad[3, 1] = np.nan
+    with pytest.raises(ValueError, match="non-finite"):
+        eng.query_many([rng.random((8, 3), dtype=np.float32), bad])
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        eng.query_many([rng.random((8, 4), dtype=np.float32)])
+
+
+def test_engine_query_many_feeds_promotion():
+    # The serving path must drive the same workload adaptation as
+    # query(): a clustered-refs engine drained exclusively via query_many
+    # promotes to the beam index instead of paying the exact-scan
+    # fallback forever.
+    from nns_tpu.kernels.cell_list import CellListEngine
+    from nns_tpu.trees.beam import BeamIndex
+
+    rng = np.random.default_rng(51)
+    centers = rng.random((64, 3)).astype(np.float32)
+    r = (centers[rng.integers(0, 64, 65536)]
+         + rng.normal(0, 0.003, (65536, 3))).astype(np.float32)
+    eng = NNEngine(14).build(r)
+    if not isinstance(eng._built, CellListEngine):
+        pytest.skip("refs too clustered for the cell index at build time")
+    batches = [rng.random((128, 3), dtype=np.float32) for _ in range(2)]
+    out = eng.query_many(batches)
+    for qb, idx in zip(batches, out):
+        assert_exact(idx, qb, r)  # the draining queue is already exact
+    assert isinstance(eng._built, BeamIndex)
+    out = eng.query_many(batches)  # next queue runs on the beam index
+    for qb, idx in zip(batches, out):
+        assert_exact(idx, qb, r)
+
+
+def test_engine_alternating_miss_batches_still_promote():
+    # Decay-based hysteresis: a sustained ~40% aggregate miss rate must
+    # promote even when every other batch is perfectly covered (a hard
+    # reset on each good batch masked it forever).
+    from nns_tpu.kernels.cell_list import CellListEngine
+    from nns_tpu.trees.beam import BeamIndex
+
+    rng = np.random.default_rng(52)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    assert isinstance(eng._built, CellListEngine)
+    far = rng.random((64, 3), dtype=np.float32) + np.array([5.0, 5.0, 5.0],
+                                                           np.float32)
+    good = rng.random((64, 3), dtype=np.float32)
+    for _ in range(6):
+        assert_exact(eng.query(far), far, r)   # cov ~0 but answers exact
+        assert_exact(eng.query(good), good, r)
+        if isinstance(eng._built, BeamIndex):
+            break
+    assert not type(eng._built) is CellListEngine
