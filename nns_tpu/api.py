@@ -110,7 +110,9 @@ def _v9(q, r, cfg):
     # certificate + exact refine of uncertified queries (mxu_expansion.py).
     from nns_tpu.kernels.mxu_expansion import nns_mxu_expansion
 
-    return _as_idx(nns_mxu_expansion(q, r, tile_m=cfg.tile_m))
+    # v9 picks its own (tall-query, narrow-ref) tiles — the fused scan's
+    # cfg.tile_m optimum does not transfer (round-3 sweep, exp_r3_k16.py).
+    return _as_idx(nns_mxu_expansion(q, r))
 
 
 def _v10(q, r, cfg):
@@ -355,7 +357,7 @@ class NNEngine:
             # placement) is the expensive half — prepare it once.
             from nns_tpu.kernels.mxu_expansion import MXUExpansion
 
-            self._built = MXUExpansion(refs, tile_m=self.config.tile_m)
+            self._built = MXUExpansion(refs)
         else:
             import jax
 

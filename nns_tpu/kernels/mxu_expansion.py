@@ -134,10 +134,17 @@ def _expansion_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, idx_ref, min2_ref,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tile_m", "tile_n", "interpret"))
-def _expansion_call(qc, rc, r2h, delta, tile_m, tile_n, interpret):
-    """Returns one packed (3, m) f32 device array [min1, idx, cert] so the
+@functools.partial(jax.jit, static_argnames=("kp", "tile_m", "tile_n", "interpret"))
+def _expansion_query(q, rc, r2h, delta, kp, tile_m, tile_n, interpret):
+    """ONE dispatch for the whole query side: k-pad + bf16 triple split +
+    contraction concat + kernel + certificate, jitted together. The former
+    eager split/concat ran ~7 separate device ops per call — measured
+    ~20 ms/call through the tunnel at m=10K (exp_r3_k16.py), a third of the
+    whole query time. Returns packed (3, m) f32 [min1, idx, cert] so the
     caller pays a single host fetch (ids exact as f32 below 2^24)."""
+    if kp != q.shape[1]:
+        q = jnp.pad(q, ((0, 0), (0, kp - q.shape[1])))
+    qc = _cat_q(*_split_bf16x3(q))
     m = qc.shape[0]
     m_pad = layouts.round_up(m, _SUBLANE)
     tm = min(tile_m, m_pad)
@@ -169,9 +176,18 @@ def _expansion_call(qc, rc, r2h, delta, tile_m, tile_n, interpret):
 
 
 class MXUExpansion:
-    """Prepare-once / query-many engine for the triple-bf16 MXU path."""
+    """Prepare-once / query-many engine for the triple-bf16 MXU path.
 
-    def __init__(self, refs, tile_m: int = 256, tile_n: int = 2048):
+    Default tiles are (1024, 512): reference streaming costs ceil(m/tile_m)
+    HBM passes over the 192 MB rc tensor (at 1M refs), so tall query tiles
+    with narrow ref tiles beat the fused scan's (256, 2048) — the round-3
+    sweep measured 68.5 -> 61.8 ms same-process at k=16, m=10K, n=1M
+    (tm=2048 collapses: 192 ms, VMEM thrash)."""
+
+    def __init__(self, refs, tile_m: int | None = None,
+                 tile_n: int | None = None):
+        tile_m = 1024 if tile_m is None else tile_m
+        tile_n = 512 if tile_n is None else tile_n
         refs = np.asarray(refs, dtype=np.float32)
         self.refs = refs
         self.n, self.k = refs.shape
@@ -208,13 +224,9 @@ class MXUExpansion:
         # Host-side scale bound (avoids a device round-trip pre-kernel).
         q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max()) if m else 0.0
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
-        q = jnp.asarray(q_np)
-        if self.kp != k:
-            q = jnp.pad(q, ((0, 0), (0, self.kp - k)))
-        qc = _cat_q(*_split_bf16x3(q))
-        packed = _expansion_call(
-            qc, self.rc, self.r2h, jnp.float32(delta),
-            self.tile_m, self.tile_n, _interpret(),
+        packed = _expansion_query(
+            jax.device_put(q_np), self.rc, self.r2h, jnp.float32(delta),
+            self.kp, self.tile_m, self.tile_n, _interpret(),
         )
         return np.asarray(packed)  # single host fetch
 
@@ -242,7 +254,8 @@ class MXUExpansion:
         return idx
 
 
-def nns_mxu_expansion(queries, refs, tile_m: int = 256, tile_n: int = 2048):
+def nns_mxu_expansion(queries, refs, tile_m: int | None = None,
+                      tile_n: int | None = None):
     """v9: triple-bf16 MXU expansion + band certificate + exact refine.
 
     Capability dispatch (SURVEY.md §5): k < 8 routes to the direct-f32
