@@ -28,13 +28,16 @@ against the next drain in a steady-state server).
 
 W = 448 sits at the measured knee of fetch-floor amortization (the sync
 fetch costs ~35 ms REGARDLESS of size through the tunnel and does not
-overlap with compute; the scans themselves are ~0.09 ms/batch). With the
-round-2 kernel the knee was W=160 (1.66 ms/batch at W=32 down to 0.92-0.96
-at 160-192); the round-3 kernel's lower device floor pushed it out:
-measured per-batch 0.67 at W=160, 0.58 at 256, 0.556 at 320, 0.523 at 448,
-0.494 at 640, all one process. Past 448 the gain (~5%) no longer justifies
-the one-time compile (107 s at W=640 vs 51 s, persistent-cached) and
-staging growth.
+overlap with compute; the kernel is ~0.25 ms/batch of device time, xplane
+profile). With the round-2 kernel the knee was W=160 (1.66 ms/batch at
+W=32 down to 0.92-0.96 at 160-192); the round-3 kernel's lower device
+floor pushed it out: measured per-batch 0.67 at W=160, 0.58 at 256, 0.556
+at 320, 0.523 at 448, 0.494 at 640, all one process. Past 448 the gain
+(~5%) no longer justifies the one-time compile (minutes at W=448,
+persistent-cached) and staging growth. The late-round-3 drain returns
+winner tables in the kernel's native (G, QM, 1) shape (no device-side
+flatten — XLA lowered the squeeze to a 0.086 ms/batch relayouting reduce)
+and picks gb=14: measured 0.36 ms/batch (27.8M qps).
 
 Robustness: the tunnel's throughput swings 2-3x between minutes (identical
 code measured 1.46-4.1 ms/batch across one round-2 session, and the round-2

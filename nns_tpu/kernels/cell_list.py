@@ -35,6 +35,7 @@ the 1M x 10K benchmark from ~36 ms to the low-ms regime.
 from __future__ import annotations
 
 import functools
+import math
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +48,7 @@ from nns_tpu.kernels.pallas_fused import _interpret
 
 
 _TR = 8192  # halo points per kernel step (R_max is tiled when larger)
-_GB = 8     # supercells per grid step (amortizes per-step fixed costs)
+_GB = 14    # max supercells per grid step (amortizes per-step fixed costs)
 
 
 def _cell_kernel(h2_ref, q_ref, h_ref, id_ref, min_ref, gid_ref, scratch,
@@ -57,7 +58,12 @@ def _cell_kernel(h2_ref, q_ref, h_ref, id_ref, min_ref, gid_ref, scratch,
 
     q_ref: (GB, QM, 3) queries; h_ref: (GB, 3, TR) dim-major halo points;
     id_ref: (GB, 1, TR) global reference ids of the halo slots; outputs
-    (GB, QM, 1) carried (min, id) per supercell. Ids are resolved IN the
+    (GB, QM, 1) carried (min, id) per supercell. Rank 3 is deliberate:
+    rank-2 (GB, QM) output blocks slowed the kernel itself 0.25 -> 0.33
+    ms/batch on v5e (narrow lane-16 stores), and any device-side squeeze
+    of the trailing singleton lowers to a relayouting XLA `reduce` at
+    0.086 ms/batch — so the queue drain returns this shape as-is and the
+    HOST flattens after the fetch (free in numpy). Ids are resolved IN the
     kernel by a one-hot min over the ids block: the tile-position argmin +
     host-side halo_ids row-gather it replaces cost more than the whole scan
     (XLA row gathers run ~30 ns/row on v5e).
@@ -131,13 +137,22 @@ def _cell_scan(dense_q, halo_dm, halo_ids, halo2, interpret: bool,
     cap = min(_TR, (1 << 20) // max(qm, 1))
     lane_divisors = [d for d in range(128, r_max + 1, 128) if r_max % d == 0]
     tr = max((d for d in lane_divisors if d <= cap), default=lane_divisors[0])
-    gb = group_batch or _GB
-    if g_total % gb or halo_groups % gb:
-        gb = 1
+    if group_batch:
+        gb = group_batch
+        if g_total % gb or halo_groups % gb:
+            gb = 1
+    else:
+        # Largest common divisor of both group counts <= _GB: the round-3
+        # gb sweep (real v5e, W=64 drain profiles) measured kernels at
+        # 15.0 ms for gb=14 vs 15.8 for 8, 19.6 for 28, 21.9 for 56 — and
+        # a fixed gb=8 silently collapsed to gb=1 for any odd D (D^3 odd),
+        # a large per-step-overhead cliff this divisor scan removes.
+        g = math.gcd(g_total, halo_groups)
+        gb = max(d for d in range(1, min(_GB, g) + 1) if g % d == 0)
     # The stacked (GB*QM, TR) reduction scratch must fit VMEM alongside the
     # input blocks: halve GB while the scratch exceeds ~2M f32 (8 MB). At
-    # the flagship shapes (QM=16, TR<=1280) GB=8 uses 160 KB; only heavily
-    # skewed batches (QM up to 2048) ever shrink GB here.
+    # the flagship shapes (QM=16, TR<=1280) GB<=14 stays under 300 KB; only
+    # heavily skewed batches (QM up to 2048) ever shrink GB here.
     while gb > 1 and gb * qm * tr > (1 << 21):
         gb //= 2
         while g_total % gb or halo_groups % gb:
@@ -221,9 +236,9 @@ def _device_query(packed_in, halo_dm, halo_ids, halo2,
 def _device_query_queue(dstack, halo_dm, halo_ids, halo2,
                         interpret: bool, group_batch: int | None = None):
     """W staged batches in ONE dispatch: dstack (W, G, QM, 3) dense query
-    tensors built on the HOST at staging time -> (W, G*QM) i32, the DENSE
-    per-slot winners with the certificate in the sign bit (id when the
-    <= halo certificate holds, -id-1 when it fails; ids < 2^30 by the
+    tensors built on the HOST at staging time -> (W, G, QM, 1) i32, the
+    DENSE per-slot winners with the certificate in the sign bit (id when
+    the <= halo certificate holds, -id-1 when it fails; ids < 2^30 by the
     build-time n limit). Dispatch overhead through a remote tunnel is ~1 ms
     regardless of program size (measured: the scan kernel alone runs
     0.45 ms but a chained single-batch dispatch never beats ~2 ms), so a
@@ -253,13 +268,17 @@ def _device_query_queue_seq(ds_seq, halo_dm, halo_ids, halo2,
 
 
 def _drain_rows(ds_iter, halo_dm, halo_ids, halo2, interpret, group_batch):
-    """Shared drain body: one scan per batch, winner row extracted from the
-    sign-encoded id plane — the single place the queue output layout lives."""
+    """Shared drain body: one scan per batch, winner table returned in the
+    kernel's native (G, QM, 1) shape — the single place the queue output
+    layout lives. No device-side squeeze/flatten: XLA lowers either into a
+    relayouting `reduce` (0.086 ms/batch measured on v5e, 24% of the whole
+    drain); consumers flatten on the HOST after the fetch instead
+    (unscatter_queue reshapes its input, a numpy view)."""
     rows = []
     for d in ds_iter:
         _, sgid = _cell_scan(d, halo_dm, halo_ids, halo2,
                              interpret, group_batch)
-        rows.append(sgid[:, :, 0].reshape(-1))
+        rows.append(sgid)
     return rows
 
 
@@ -558,8 +577,10 @@ class CellListEngine:
     def query_queue_staged(self, dstack, fstack=None,
                            group_batch: int | None = None):
         """Device half of the queue path: W staged batches, one dispatch
-        (see _device_query_queue). Returns the dense (W, G*QM) i32 device
-        array — winner id per slot, certificate in the sign bit; recover
+        (see _device_query_queue). Returns the dense (W, G, QM, 1) i32
+        device array (the sharded override returns (W, G*QM) — flat either
+        way after unscatter_queue's host reshape) — winner id per slot,
+        certificate in the sign bit; recover
         per-query results by indexing with stage_queue's fstack slots on
         the host (unscatter_queue). ``fstack`` is accepted for call-site
         symmetry but the device no longer needs it. A tuple/list of W
@@ -582,7 +603,7 @@ class CellListEngine:
         """Host half of the queue path for one batch: dense (G*QM,) signed
         winners + the batch's flat slots and staging order -> (idx, ok) in
         the caller's original query order."""
-        got = out_w[fslots]                   # (m,) signed, staged order
+        got = np.asarray(out_w).reshape(-1)[fslots]  # (m,) signed, staged order
         m = len(order)
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)

@@ -286,3 +286,22 @@ def test_ids_above_2_24_transit_exactly():
     np.testing.assert_array_equal(
         idx_q[ok_q].astype(np.int64) - OFF, idx1[ok1].astype(np.int64)
     )
+
+
+def test_odd_d_engine_group_batch_divisor():
+    # D odd means G = D^3 is odd: the fixed gb=8 of earlier rounds silently
+    # collapsed the kernel to one supercell per grid step. The divisor scan
+    # must pick a real common divisor and stay exact.
+    from nns_tpu.kernels import cell_list as cl
+
+    rng = np.random.default_rng(31)
+    r = rng.random((20000, 3), dtype=np.float32)
+    eng = cl.CellListEngine(r, d_per_dim=9)
+    assert eng.D == 9  # G = 729 = 3^6
+    q = rng.random((400, 3), dtype=np.float32)
+    idx, ok = eng.query_with_flags(q)
+    assert_exact(idx[ok], q[ok], r)
+    # the auto choice must not be the degenerate 1 for a composite odd G
+    g = 729
+    gb = max(d for d in range(1, min(cl._GB, g) + 1) if g % d == 0)
+    assert gb == 9
