@@ -131,7 +131,7 @@ def main() -> int:
     while len(times) < MAX_TRIALS:
         t0 = time.perf_counter()
         out = engine.query_queue_staged(dq, fq)
-        _ = np.asarray(out[-1])  # sync: final batch's dense (G*QM,) i32 winners
+        _ = np.asarray(out[-1])  # sync: final batch's (G, QM, 1) i32 winner table
         per_batch = (time.perf_counter() - t0) / W
         times.append(per_batch * 1e3)
         # best always tracks the true minimum (the reported headline must

@@ -34,6 +34,7 @@ from nns_tpu.kernels import layouts
 from nns_tpu.kernels.mxu_expansion import (
     MXUExpansion,
     _cat_q,
+    _expansion_kernel,
     _split_bf16x3,
 )
 
@@ -61,23 +62,11 @@ def _variant_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, idx_ref, min2_ref,
     if mode == "matmul":
         min1_ref[:] = jnp.minimum(min1_ref[:], tmin1)
         return
-    if mode == "noargs":
-        # min2 via strict value masking (WRONG for duplicates; measurement only)
-        tmin2 = jnp.min(jnp.where(e > tmin1, e, jnp.inf), axis=1, keepdims=True)
-        c1, c2 = min1_ref[:], min2_ref[:]
-        better = tmin1 < c1
-        min1_ref[:] = jnp.where(better, tmin1, c1)
-        min2_ref[:] = jnp.minimum(jnp.minimum(c2, tmin2),
-                                  jnp.where(better, c1, tmin1))
-        return
-    cols = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-    targ = jnp.min(jnp.where(e == tmin1, cols, tile_n), axis=1, keepdims=True)
-    tmin2 = jnp.min(jnp.where(cols == targ, jnp.inf, e), axis=1, keepdims=True)
-    tgidx = j * tile_n + targ
-    c1, ci, c2 = min1_ref[:], idx_ref[:], min2_ref[:]
+    # min2 via strict value masking (WRONG for duplicates; measurement only)
+    tmin2 = jnp.min(jnp.where(e > tmin1, e, jnp.inf), axis=1, keepdims=True)
+    c1, c2 = min1_ref[:], min2_ref[:]
     better = tmin1 < c1
     min1_ref[:] = jnp.where(better, tmin1, c1)
-    idx_ref[:] = jnp.where(better, tgidx, ci)
     min2_ref[:] = jnp.minimum(jnp.minimum(c2, tmin2),
                               jnp.where(better, c1, tmin1))
 
@@ -90,8 +79,10 @@ def _run(qc, rc, r2h, mode, tm=TM, tn=TN):
     kc = qc.shape[1]
     grid = (pl.cdiv(m_pad, tm), pl.cdiv(rc.shape[1], tn))
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    body = (functools.partial(_expansion_kernel, tile_n=tn) if mode == "full"
+            else functools.partial(_variant_kernel, tile_n=tn, mode=mode))
     min1, idx, min2 = pl.pallas_call(
-        functools.partial(_variant_kernel, tile_n=tn, mode=mode),
+        body,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -114,7 +105,7 @@ def main():
     rng = np.random.default_rng(1000)
     refs = rng.random((N, K), dtype=np.float32)
     queries = rng.random((M, K), dtype=np.float32)
-    eng = MXUExpansion(refs, tile_m=TM, tile_n=TN)
+    eng = MXUExpansion(refs, tile_m=TM, tile_n=TN)  # legacy tiles for the variant rows
     q = jnp.asarray(queries)
     qc = jax.device_put(_cat_q(*_split_bf16x3(q)))
     print(f"qc {qc.shape} {qc.dtype}; rc {eng.rc.shape} {eng.rc.dtype}")
@@ -147,14 +138,16 @@ def main():
         except Exception as ex:
             print(f"full tm={tm} tn={tn}: FAILED {str(ex)[:120]}")
 
-    # production reference point, same process
+    # production reference point, same process — CURRENT defaults
+    peng = MXUExpansion(refs)
     t0 = time.perf_counter()
-    eng.query_min_idx_cert(queries)
-    print(f"prod: compile+1 {time.perf_counter() - t0:.1f}s")
+    peng.query_min_idx_cert(queries)
+    print(f"prod(defaults {peng.tile_m}x{peng.tile_n}): compile+1 "
+          f"{time.perf_counter() - t0:.1f}s")
     best = np.inf
     for _ in range(8):
         t0 = time.perf_counter()
-        _, idx, cert = eng.query_min_idx_cert(queries)
+        _, idx, cert = peng.query_min_idx_cert(queries)
         best = min(best, time.perf_counter() - t0)
     print(f"prod: best {best * 1e3:.1f} ms  cert_frac {cert.mean():.4f}")
 

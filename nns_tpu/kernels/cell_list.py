@@ -151,8 +151,8 @@ def _cell_scan(dense_q, halo_dm, halo_ids, halo2, interpret: bool,
         gb = max(d for d in range(1, min(_GB, g) + 1) if g % d == 0)
     # The stacked (GB*QM, TR) reduction scratch must fit VMEM alongside the
     # input blocks: halve GB while the scratch exceeds ~2M f32 (8 MB). At
-    # the flagship shapes (QM=16, TR<=1280) GB<=14 stays under 300 KB; only
-    # heavily skewed batches (QM up to 2048) ever shrink GB here.
+    # the flagship shapes (QM=16, TR<=1280) GB<=14 is ~287K f32 = ~1.1 MB;
+    # only heavily skewed batches (QM up to 2048) ever shrink GB here.
     while gb > 1 and gb * qm * tr > (1 << 21):
         gb //= 2
         while g_total % gb or halo_groups % gb:
@@ -258,7 +258,7 @@ def _device_query_queue(dstack, halo_dm, halo_ids, halo2,
 def _device_query_queue_seq(ds_seq, halo_dm, halo_ids, halo2,
                             interpret: bool, group_batch: int | None = None):
     """Tuple-form queue drain: W separate (G, QM, 3) device arrays in, W
-    separate (G*QM,) i32 winner rows out, still ONE device program. Skipping
+    separate (G, QM, 1) i32 winner tables out, still ONE device program. Skipping
     the per-batch dstack[w] dynamic-slice (a relayout copy) and the final
     W-way stack measured 0.67 -> 0.57 ms/batch at W=160 on the real chip —
     the headline bench path. The stacked form stays for consumers that

@@ -67,17 +67,28 @@ def _fields(buf: bytes):
 
 @dataclass
 class DeviceOpReport:
-    """Per-op-kind device time of one traced region."""
+    """Per-op-kind device time of one traced region.
 
-    device: str = ""
+    ``ops``/``total_ms`` SUM over every device plane in the trace (one per
+    chip on a multi-chip run — divide by len(devices) for a per-chip
+    average); ``devices`` lists the planes that contributed."""
+
+    devices: list[str] = field(default_factory=list)
     ops: dict[str, tuple[int, float]] = field(default_factory=dict)
+
+    @property
+    def device(self) -> str:
+        return ", ".join(self.devices)
 
     @property
     def total_ms(self) -> float:
         return float(sum(t for _, t in self.ops.values()))
 
     def __str__(self) -> str:
-        lines = [f"device {self.device}: {self.total_ms:.3f} ms busy"]
+        lines = [
+            f"{len(self.devices)} device plane(s) [{self.device}]: "
+            f"{self.total_ms:.3f} ms busy (summed)"
+        ]
         for k, (n, t) in sorted(self.ops.items(), key=lambda kv: -kv[1][1]):
             lines.append(f"  {t:9.3f} ms x{n:5d}  {k}")
         return "\n".join(lines)
@@ -122,7 +133,9 @@ def parse_xplane(path: str, line_name: str = "XLA Ops") -> DeviceOpReport:
                     events.append(lv)
             if lname.decode(errors="replace") != line_name:
                 continue
-            rep.device = name.decode(errors="replace")
+            dev = name.decode(errors="replace")
+            if dev not in rep.devices:
+                rep.devices.append(dev)
             for ev in events:
                 mid = 0
                 dur = 0
@@ -156,7 +169,7 @@ def profile_device_ops(fn, trace_dir: str | None = None,
             fn()
         pbs = sorted(glob.glob(os.path.join(d, "plugins/profile/*/*.xplane.pb")))
         if not pbs:  # pragma: no cover - backend without xplane support
-            return DeviceOpReport(device="(no xplane produced)")
+            return DeviceOpReport(devices=["(no xplane produced)"])
         return parse_xplane(pbs[-1], line_name=line_name)
     finally:
         if own:

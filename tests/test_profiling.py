@@ -49,7 +49,7 @@ def test_parse_xplane_synthetic(tmp_path):
     p.write_bytes(space)
 
     rep = parse_xplane(str(p))
-    assert rep.device == "/device:TPU:0"
+    assert rep.devices == ["/device:TPU:0"]
     assert rep.ops["fusion"] == (2, 3.0)
     assert rep.ops["copy"] == (1, 0.5)
     assert abs(rep.total_ms - 3.5) < 1e-9
