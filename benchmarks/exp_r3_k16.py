@@ -34,9 +34,39 @@ from nns_tpu.kernels import layouts
 from nns_tpu.kernels.mxu_expansion import (
     MXUExpansion,
     _cat_q,
-    _expansion_kernel,
     _split_bf16x3,
 )
+
+# Historical copy of the round-3 single-pass production kernel (replaced in
+# round 4 by the two-phase design; kept here so this experiment still runs).
+def _expansion_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, idx_ref, min2_ref,
+                      *, tile_n: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
+        idx_ref[:] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
+        min2_ref[:] = jnp.full(min2_ref.shape, jnp.inf, dtype=jnp.float32)
+
+    cross = jax.lax.dot_general(
+        qc_ref[:], rc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e = r2h_ref[:] - cross
+    tmin1 = jnp.min(e, axis=1, keepdims=True)
+    cols = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
+    targ = jnp.min(jnp.where(e == tmin1, cols, tile_n), axis=1, keepdims=True)
+    tmin2 = jnp.min(jnp.where(cols == targ, jnp.inf, e), axis=1, keepdims=True)
+    tgidx = j * tile_n + targ
+    c1, ci, c2 = min1_ref[:], idx_ref[:], min2_ref[:]
+    better = tmin1 < c1
+    min1_ref[:] = jnp.where(better, tmin1, c1)
+    idx_ref[:] = jnp.where(better, tgidx, ci)
+    min2_ref[:] = jnp.minimum(
+        jnp.minimum(c2, tmin2), jnp.where(better, c1, tmin1)
+    )
 
 M, N, K = 10240, 1 << 20, 16
 TM, TN = 256, 2048

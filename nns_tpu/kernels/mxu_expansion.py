@@ -24,15 +24,32 @@ measured round 1). Instead:
    ``l.m``, ``l.l``) and the split residuals bound the error of the
    half-expansion value e = |r|^2/2 - q.r at ``delta ~ k * 2^-25 * scale``
    — comparable to the f32 rounding of the direct form itself.
-3. Carry per-query (min1, arg1, min2) across reference tiles — min2 is
-   the second-smallest expansion value over ALL reference points
-   (duplicate-aware: only the argmin *position* is masked, so duplicate
-   values land in min2 and fail the certificate as they must).
-4. Certificate: ``min2 > min1 + 2*delta`` proves arg1 is the true f32
-   nearest neighbor (any other point j has e_j >= min2 > min1 + 2*delta
-   >= e_true(NN), contradiction). Queries that fail (near-exact ties /
-   duplicate-heavy data) are re-answered by the exact fused VPU scan over
-   a REUSED staged reference set — the package exactness contract holds
+3. TWO-PHASE reduction (round 4; the round-3 kernel carried
+   (min1, argmin, duplicate-aware min2) through ~7 VPU passes per tile,
+   and those extra (tm, tn) temporaries also capped the tile size —
+   exp_r3_k16.py measured the epilogue at ~23% and the remaining floor
+   dominated by per-grid-step overhead at 20K+ tiny tiles):
+   - Phase 1 (Pallas): per reference tile, ONE min-reduce of the
+     expansion values; the carry is just (min1, winning-tile id,
+     cross-tile runner-up m2x) — three (tm, 1) vectors — so big tiles
+     fit VMEM and the grid shrinks up to 16x.
+   - Phase 2 (XLA, same jit): gather ONLY each query's winning tile of
+     raw f32 reference points ((m, tn, k) — 3x fewer bytes than the
+     6-way bf16 splits) and rescan it in full f32 on the VPU
+     (explicit mul+sum; jnp.dot would bf16-truncate on TPU), yielding
+     the in-tile argmin and the duplicate-aware in-tile min2. The
+     gather is chunked via lax.map to bound the temporary.
+4. Certificate: ``min(in_tile_min2, m2x) > min1 + 2*delta`` proves arg1
+   is the true f32 nearest neighbor: any other point j in the winning
+   tile has E(j) >= in_tile_min2 - delta2, any point outside it has
+   E(j) >= its tile's min - delta1 >= m2x - delta1, while E(arg1) <=
+   min1 + delta2; delta >= delta1 >= delta2 covers both (phase 2 is
+   strictly more accurate than phase 1). Exact duplicates land in
+   in_tile_min2 (only the argmin POSITION is masked) or force
+   m2x == min1 (cross-tile), failing the certificate as they must.
+   Queries that fail (near-exact ties / duplicate-heavy data) are
+   re-answered by the exact fused VPU scan over a REUSED staged
+   reference set — the package exactness contract holds
    unconditionally.
 
 Reference points are padded in the *distance domain*: padded columns get
@@ -92,15 +109,16 @@ def _cat_r(rh, rm, rl) -> jnp.ndarray:
     return jnp.concatenate([rh, rm, rh, rl, rh, rm], axis=0)
 
 
-def _expansion_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, idx_ref, min2_ref,
-                      *, tile_n: int):
+def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref):
+    """Min-only scan: per reference tile, one MXU pass + one VPU min-reduce.
+    Carries (min1, winning tile id, cross-tile runner-up m2x)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
         min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
-        idx_ref[:] = jnp.zeros(idx_ref.shape, dtype=jnp.int32)
-        min2_ref[:] = jnp.full(min2_ref.shape, jnp.inf, dtype=jnp.float32)
+        tid_ref[:] = jnp.zeros(tid_ref.shape, dtype=jnp.int32)
+        m2x_ref[:] = jnp.full(m2x_ref.shape, jnp.inf, dtype=jnp.float32)
 
     # One wide-contraction bf16 MXU pass = all six split products.
     cross = jax.lax.dot_general(
@@ -110,42 +128,57 @@ def _expansion_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, idx_ref, min2_ref,
     )
     # Half-expansion: e = |r|^2/2 - q.r (ranking-equivalent to the distance;
     # |q|^2 row-constant, the global 2x monotone).
-    e = r2h_ref[:] - cross  # (TM, TN)
+    tmin = jnp.min(r2h_ref[:] - cross, axis=1, keepdims=True)
 
-    # Per-row (min1, lowest arg, min2) of this tile. min2 masks only the
-    # argmin POSITION, not its value, so exact duplicates are seen by min2.
-    tmin1 = jnp.min(e, axis=1, keepdims=True)
-    cols = jax.lax.broadcasted_iota(jnp.int32, e.shape, 1)
-    targ = jnp.min(jnp.where(e == tmin1, cols, tile_n), axis=1, keepdims=True)
-    tmin2 = jnp.min(jnp.where(cols == targ, jnp.inf, e), axis=1, keepdims=True)
-    tgidx = j * tile_n + targ
+    # Duel with the carry. Strict < in ascending tile order keeps the
+    # earlier (lower-id) tile on an exact cross-tile tie, which then lands
+    # in m2x and fails the certificate — as a duplicate must.
+    c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
+    better = tmin < c1
+    min1_ref[:] = jnp.where(better, tmin, c1)
+    tid_ref[:] = jnp.where(better, j, ct)
+    # Second-smallest TILE MINIMUM outside the winning tile: a new winner
+    # demotes the old one to runner-up; a loser competes with the carry.
+    m2x_ref[:] = jnp.where(better, c1, jnp.minimum(c2, tmin))
 
-    # Merge into the carry. Lowest-index-on-tie: ascending tile order with a
-    # strict < keeps the earlier (lower-index) winner; an exact cross-tile
-    # tie routes the duplicate value into min2, failing the certificate.
-    c1, ci, c2 = min1_ref[:], idx_ref[:], min2_ref[:]
-    better = tmin1 < c1
-    min1_ref[:] = jnp.where(better, tmin1, c1)
-    idx_ref[:] = jnp.where(better, tgidx, ci)
-    # Second-smallest across {carry set} U {tile set}: the loser of the
-    # min1 duel competes with both carried and tile second minima.
-    min2_ref[:] = jnp.minimum(
-        jnp.minimum(c2, tmin2), jnp.where(better, c1, tmin1)
-    )
+
+def _phase2_chunk(q, tid, m2x, refs_t, r2h_t, delta, tile_n):
+    """Full-f32 rescan of each query's winning tile (one lax.map step).
+
+    q (mc, kp) f32; tid (mc,) i32; m2x (mc,) f32;
+    refs_t (n_tiles, tile_n, kp) f32 zero-padded; r2h_t (n_tiles, tile_n)
+    f32 half-norms (+inf on padded columns, so padding never wins).
+    Returns (idx, cert, min1) per row.
+    """
+    rsel = jnp.take(refs_t, tid, axis=0)           # (mc, tile_n, kp)
+    r2sel = jnp.take(r2h_t, tid, axis=0)           # (mc, tile_n)
+    # f32 mul+sum on the VPU — a jnp.dot here would bf16-truncate on TPU,
+    # blowing the phase-2 error past the certificate band.
+    cross = jnp.sum(rsel * q[:, None, :], axis=2)  # (mc, tile_n)
+    ew = r2sel - cross
+    wmin1 = jnp.min(ew, axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, ew.shape, 1)
+    warg = jnp.min(jnp.where(ew == wmin1[:, None], cols, tile_n), axis=1)
+    # In-tile min2 masks only the argmin POSITION, so in-tile duplicates
+    # are seen and fail the certificate.
+    wmin2 = jnp.min(jnp.where(cols == warg[:, None], jnp.inf, ew), axis=1)
+    idx = tid * tile_n + warg
+    cert = (jnp.minimum(wmin2, m2x) > wmin1 + 2.0 * delta).astype(jnp.float32)
+    return idx, cert, wmin1
 
 
 @functools.partial(jax.jit, static_argnames=("kp", "tile_m", "tile_n", "interpret"))
-def _expansion_query(q, rc, r2h, delta, kp, tile_m, tile_n, interpret):
-    """ONE dispatch for the whole query side: k-pad + bf16 triple split +
-    contraction concat + kernel + certificate, jitted together. The former
-    eager split/concat ran ~7 separate device ops per call — measured
-    ~20 ms/call through the tunnel at m=10K (exp_r3_k16.py), a third of the
-    whole query time. Returns packed (3, m) f32 [min1, idx, cert] so the
-    caller pays a single host fetch (ids exact as f32 below 2^24)."""
+def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
+                     interpret):
+    """ONE dispatch for the whole query: k-pad + bf16 triple split +
+    min-only Pallas phase 1 + winning-tile f32 rescan phase 2 +
+    certificate, jitted together. Returns packed (3, m) f32
+    [min1, idx, cert] so the caller pays a single host fetch (ids exact
+    as f32 below 2^24)."""
+    m = q.shape[0]
     if kp != q.shape[1]:
         q = jnp.pad(q, ((0, 0), (0, kp - q.shape[1])))
     qc = _cat_q(*_split_bf16x3(q))
-    m = qc.shape[0]
     m_pad = layouts.round_up(m, _SUBLANE)
     tm = min(tile_m, m_pad)
     if m_pad != m:
@@ -155,8 +188,8 @@ def _expansion_query(q, rc, r2h, delta, kp, tile_m, tile_n, interpret):
     kc = qc.shape[1]
 
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    min1, idx, min2 = pl.pallas_call(
-        functools.partial(_expansion_kernel, tile_n=tile_n),
+    min1, tid, m2x = pl.pallas_call(
+        _phase1_kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -171,8 +204,31 @@ def _expansion_query(q, rc, r2h, delta, kp, tile_m, tile_n, interpret):
         ),
         interpret=interpret,
     )(qc, rc, r2h)
-    cert = (min2[:m, 0] > min1[:m, 0] + 2.0 * delta).astype(jnp.float32)
-    return jnp.stack([min1[:m, 0], idx[:m, 0].astype(jnp.float32), cert])
+
+    # Phase 2, chunked so the (mc, tile_n, kp) gather temp stays bounded
+    # (~2M gathered points per step) even for concatenated query_many
+    # queues.
+    mc = min(m_pad, max(_SUBLANE, ((1 << 21) // tile_n) // _SUBLANE * _SUBLANE))
+    m_pad2 = layouts.round_up(m_pad, mc)
+    qp = jnp.pad(q[:m], ((0, m_pad2 - m), (0, 0)))
+    tidp = jnp.pad(tid[:m, 0], (0, m_pad2 - m))
+    m2xp = jnp.pad(m2x[:m, 0], (0, m_pad2 - m))
+    nchunks = m_pad2 // mc
+
+    def step(args):
+        qck, tidk, m2xk = args
+        return _phase2_chunk(qck, tidk, m2xk, refs_t, r2h_t, delta, tile_n)
+
+    idx2, cert2, min12 = jax.lax.map(
+        step,
+        (
+            qp.reshape(nchunks, mc, kp),
+            tidp.reshape(nchunks, mc),
+            m2xp.reshape(nchunks, mc),
+        ),
+    )
+    idx_f = idx2.reshape(-1)[:m].astype(jnp.float32)
+    return jnp.stack([min12.reshape(-1)[:m], idx_f, cert2.reshape(-1)[:m]])
 
 
 class MXUExpansion:
@@ -213,6 +269,15 @@ class MXUExpansion:
             0.5 * (refs.astype(np.float64) ** 2).sum(axis=1)
         ).astype(np.float32)
         self.r2h = jax.device_put(jnp.asarray(r2h))
+        # Phase-2 staging: raw f32 reference tiles + half-norms, tiled at
+        # the phase-1 tile_n so a winning tile id addresses one gather row.
+        n_tiles = n_pad // self.tile_n
+        self.refs_t = jax.device_put(
+            jnp.asarray(r.reshape(n_tiles, self.tile_n, self.kp))
+        )
+        self.r2h_t = jax.device_put(
+            jnp.asarray(np.ascontiguousarray(r2h.reshape(n_tiles, self.tile_n)))
+        )
         self._r2_max = 2.0 * float(np.max(r2h[0, : self.n])) if self.n else 0.0
         self._fallback: FusedBruteForce | None = None
 
@@ -225,8 +290,9 @@ class MXUExpansion:
         q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max()) if m else 0.0
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
         packed = _expansion_query(
-            jax.device_put(q_np), self.rc, self.r2h, jnp.float32(delta),
-            self.kp, self.tile_m, self.tile_n, _interpret(),
+            jax.device_put(q_np), self.rc, self.r2h, self.refs_t, self.r2h_t,
+            jnp.float32(delta), self.kp, self.tile_m, self.tile_n,
+            _interpret(),
         )
         return np.asarray(packed)  # single host fetch
 

@@ -1,0 +1,88 @@
+"""Unit tests for the v9 two-phase MXU expansion engine
+(kernels/mxu_expansion.py): phase-1 min-only tile scan + phase-2
+winning-tile f32 rescan + band certificate + exact-refine fallback.
+
+Reference analog: v9 (core.cu:856-1058) is the reference's best brute
+force; it has no tests there (SURVEY.md §4). These pin the TPU rebuild's
+exactness contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from nns_tpu.kernels.mxu_expansion import MXUExpansion, nns_mxu_expansion
+from nns_tpu.kernels.oracle import recall_at_1
+
+
+def _oracle(queries, refs):
+    d = (
+        (queries[:, None, :].astype(np.float64) - refs[None].astype(np.float64))
+        ** 2
+    ).sum(-1)
+    return d.argmin(1)
+
+
+def test_certified_answers_exact_across_tiles():
+    rng = np.random.default_rng(3)
+    refs = rng.random((1000, 16), dtype=np.float32)
+    queries = rng.random((57, 16), dtype=np.float32)
+    eng = MXUExpansion(refs, tile_m=32, tile_n=128)  # 8 tiles, last padded
+    min1, idx, cert = eng.query_min_idx_cert(queries)
+    oracle = _oracle(queries, refs)
+    assert cert.mean() > 0.9  # random data certifies almost everywhere
+    assert (idx[cert] == oracle[cert]).all()
+    # min1 is the phase-2 f32 half-expansion of the winner.
+    e_win = 0.5 * (refs[idx].astype(np.float64) ** 2).sum(1) - (
+        queries.astype(np.float64) * refs[idx].astype(np.float64)
+    ).sum(1)
+    np.testing.assert_allclose(min1, e_win, atol=1e-4)
+    # The engine's public query() is unconditionally exact.
+    assert recall_at_1(eng.query(queries), queries, refs) == 1.0
+
+
+@pytest.mark.parametrize("dup_pos", [5, 700])
+def test_duplicates_fail_certificate_but_stay_exact(dup_pos):
+    # dup at 5: same phase-1 tile as the original (tile_n=512 would span
+    # both; with tile_n=128 index 5 and 2 share tile 0) -> in-tile min2.
+    # dup at 700: different tile -> cross-tile m2x == min1.
+    rng = np.random.default_rng(4)
+    refs = rng.random((1000, 16), dtype=np.float32)
+    refs[dup_pos] = refs[2]
+    q = refs[2:3].copy()
+    eng = MXUExpansion(refs, tile_m=8, tile_n=128)
+    _, idx, cert = eng.query_min_idx_cert(q)
+    assert not cert[0], "exact duplicate must fail the certificate"
+    # query() falls back to the exact scan; any true NN is valid, and both
+    # copies are true NNs.
+    out = int(eng.query(q)[0])
+    assert out in (2, dup_pos)
+
+
+def test_winner_in_last_padded_tile():
+    rng = np.random.default_rng(5)
+    refs = rng.random((130, 16), dtype=np.float32) + 4.0  # off-origin
+    q = (refs[129] + 1e-3).reshape(1, -1).astype(np.float32)
+    eng = MXUExpansion(refs, tile_m=8, tile_n=128)  # winner in tile 1 (2 cols real)
+    _, idx, cert = eng.query_min_idx_cert(q)
+    assert cert[0] and idx[0] == 129
+
+
+def test_k_not_sublane_multiple():
+    rng = np.random.default_rng(6)
+    refs = rng.random((600, 10), dtype=np.float32)
+    queries = rng.random((33, 10), dtype=np.float32)
+    idx = nns_mxu_expansion(queries, refs)
+    assert recall_at_1(idx, queries, refs) == 1.0
+
+
+def test_large_query_count_chunks():
+    # m big enough to force several phase-2 lax.map chunks: at tile_n=512
+    # the chunk is 2^21/512 = 4096 rows, so m=4100 runs 2 chunks with a
+    # padded tail.
+    rng = np.random.default_rng(7)
+    refs = rng.random((1024, 16), dtype=np.float32)
+    queries = rng.random((4100, 16), dtype=np.float32)
+    eng = MXUExpansion(refs, tile_m=256, tile_n=512)
+    assert recall_at_1(eng.query(queries), queries, refs) == 1.0
