@@ -85,7 +85,34 @@ def _spread(ms: list[float]) -> str:
     )
 
 
+def _wait_for_backend(attempts: int = 12, probe_timeout_s: int = 90) -> None:
+    """Probe backend init in a SUBPROCESS before touching jax in-process.
+
+    The axon tunnel can hang jax.devices() indefinitely during outages
+    (observed round 3: >180 s with no error). A hung init in the graded
+    process is unrecoverable; a subprocess probe is killable, so flapping
+    tunnels cost bounded retries instead of the whole artifact."""
+    import subprocess
+
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=probe_timeout_s, capture_output=True, text=True,
+            )
+            if r.returncode == 0 and "ok" in r.stdout:
+                if i:
+                    log(f"[bench] backend probe succeeded on attempt {i + 1}")
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        log(f"[bench] backend probe attempt {i + 1}/{attempts} failed; retrying")
+    log("[bench] backend probes exhausted; proceeding anyway")
+
+
 def main() -> int:
+    _wait_for_backend()
     import jax
 
     from nns_tpu.data import make_dataset

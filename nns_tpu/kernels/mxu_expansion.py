@@ -172,9 +172,11 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
                      interpret):
     """ONE dispatch for the whole query: k-pad + bf16 triple split +
     min-only Pallas phase 1 + winning-tile f32 rescan phase 2 +
-    certificate, jitted together. Returns packed (3, m) f32
-    [min1, idx, cert] so the caller pays a single host fetch (ids exact
-    as f32 below 2^24)."""
+    certificate, jitted together. Returns packed (4, m) f32
+    [min1, idx_hi, idx_lo, cert] so the caller pays a single host fetch;
+    ids transit as two f32-exact 12-/19-bit halves (idx = hi*4096 + lo),
+    exact for any n < 2^31 — the engine's real bound is HBM, not id
+    precision."""
     m = q.shape[0]
     if kp != q.shape[1]:
         q = jnp.pad(q, ((0, 0), (0, kp - q.shape[1])))
@@ -227,8 +229,12 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
             m2xp.reshape(nchunks, mc),
         ),
     )
-    idx_f = idx2.reshape(-1)[:m].astype(jnp.float32)
-    return jnp.stack([min12.reshape(-1)[:m], idx_f, cert2.reshape(-1)[:m]])
+    idx_flat = idx2.reshape(-1)[:m]
+    idx_hi = (idx_flat // 4096).astype(jnp.float32)
+    idx_lo = (idx_flat % 4096).astype(jnp.float32)
+    return jnp.stack(
+        [min12.reshape(-1)[:m], idx_hi, idx_lo, cert2.reshape(-1)[:m]]
+    )
 
 
 class MXUExpansion:
@@ -247,8 +253,12 @@ class MXUExpansion:
         refs = np.asarray(refs, dtype=np.float32)
         self.refs = refs
         self.n, self.k = refs.shape
-        if self.n >= 1 << 24:
-            raise ValueError("MXUExpansion supports n < 2^24 (f32-exact ids)")
+        # Ids transit as two f32-exact halves (hi = id // 4096 < 2^19,
+        # lo < 2^12), so the bound is physical: device staging costs
+        # ~(192 + 64) B/point at k=16 (bf16 splits + f32 phase-2 tiles) —
+        # n = 2^25 is ~8.6 GB of a v5e's 16 GB HBM.
+        if self.n >= 1 << 25:
+            raise ValueError("MXUExpansion supports n < 2^25 (HBM staging)")
         self.tile_m = tile_m
         # The contraction axis concatenates three bf16 splits twice each;
         # per-split k pads to the sublane width (zero coordinates on both
@@ -296,17 +306,23 @@ class MXUExpansion:
         )
         return np.asarray(packed)  # single host fetch
 
+    @staticmethod
+    def _unpack_idx(packed: np.ndarray) -> np.ndarray:
+        # idx = hi*4096 + lo, both halves f32-exact (see _expansion_query).
+        return (packed[1].astype(np.int64) * 4096
+                + packed[2].astype(np.int64)).astype(np.int32)
+
     def query_min_idx_cert(self, queries):
         packed = self._query_packed(queries)
-        return packed[0], packed[1].astype(np.int32), packed[2] > 0.5
+        return packed[0], self._unpack_idx(packed), packed[3] > 0.5
 
     def query(self, queries):
         """Exact 1-NN indices; uncertified queries re-answered by the
         direct-f32 fused scan (rare: expansion ties / duplicates) over a
         staged-once reference set."""
         packed = self._query_packed(queries)
-        idx = packed[1].astype(np.int32)
-        cert = packed[2] > 0.5
+        idx = self._unpack_idx(packed)
+        cert = packed[3] > 0.5
         if cert.all():
             return idx
         bad = np.flatnonzero(~cert)

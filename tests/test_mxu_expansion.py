@@ -77,6 +77,18 @@ def test_k_not_sublane_multiple():
     assert recall_at_1(idx, queries, refs) == 1.0
 
 
+def test_id_halves_unpack_exactly_past_2_24():
+    # Ids transit the packed fetch as two f32-exact halves; the unpack
+    # must be exact up to the 2^25 staging cap (above the old f32 2^24
+    # integer-exactness limit).
+    ids = np.array([0, 4095, 4096, (1 << 24) + 12345, (1 << 25) - 1],
+                   dtype=np.int64)
+    packed = np.zeros((4, len(ids)), dtype=np.float32)
+    packed[1] = (ids // 4096).astype(np.float32)
+    packed[2] = (ids % 4096).astype(np.float32)
+    assert (MXUExpansion._unpack_idx(packed) == ids).all()
+
+
 def test_large_query_count_chunks():
     # m big enough to force several phase-2 lax.map chunks: at tile_n=512
     # the chunk is 2^21/512 = 4096 rows, so m=4100 runs 2 chunks with a
