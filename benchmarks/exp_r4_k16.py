@@ -99,6 +99,75 @@ def _phase1(qc, rc, r2h, tm, tn):
     )(qc, rc, r2h)
 
 
+def _phase1_sub_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
+                       *, ts: int, ns: int):
+    """Like _phase1_kernel but the carried id is a SUBTILE id at width ts
+    (tile covers ns subtiles), so phase-1 tiles can grow (fewer grid
+    steps) while the phase-2 gather stays at ts columns."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
+        tid_ref[:] = jnp.zeros(tid_ref.shape, dtype=jnp.int32)
+        m2x_ref[:] = jnp.full(m2x_ref.shape, jnp.inf, dtype=jnp.float32)
+
+    cross = jax.lax.dot_general(
+        qc_ref[:], rc_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    e = r2h_ref[:] - cross
+    subs = [
+        jnp.min(e[:, c * ts:(c + 1) * ts], axis=1, keepdims=True)
+        for c in range(ns)
+    ]
+    smin = jnp.concatenate(subs, axis=1)            # (tm, ns)
+    tmin = jnp.min(smin, axis=1, keepdims=True)
+    scols = jax.lax.broadcasted_iota(jnp.int32, smin.shape, 1)
+    sarg = jnp.min(jnp.where(smin == tmin, scols, ns), axis=1, keepdims=True)
+    smin2 = jnp.min(jnp.where(scols == sarg, jnp.inf, smin), axis=1,
+                    keepdims=True)                  # runner-up subtile IN tile
+    stid = j * ns + sarg
+
+    c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
+    better = tmin < c1
+    min1_ref[:] = jnp.where(better, tmin, c1)
+    tid_ref[:] = jnp.where(better, stid, ct)
+    # Two-min merge over subtile minima: a new winner demotes the old one
+    # AND competes with its own in-tile runner-up; a loser competes with
+    # the carried runner-up.
+    m2x_ref[:] = jnp.where(
+        better, jnp.minimum(c1, smin2), jnp.minimum(c2, tmin)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("tm", "tn", "ts"))
+def _phase1s(qc, rc, r2h, tm, tn, ts):
+    m_pad = layouts.round_up(qc.shape[0], 8)
+    if m_pad != qc.shape[0]:
+        qc = jnp.pad(qc, ((0, m_pad - qc.shape[0]), (0, 0)))
+    kc = qc.shape[1]
+    grid = (pl.cdiv(m_pad, tm), pl.cdiv(rc.shape[1], tn))
+    o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_phase1_sub_kernel, ts=ts, ns=tn // ts),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((kc, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(o_spec, o_spec, o_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+        ),
+        interpret=False,
+    )(qc, rc, r2h)
+
+
 @functools.partial(jax.jit, static_argnames=("tn",))
 def _phase2(q, refs_t, r2h_t, tid, min1, m2x, delta, tn):
     """Full-f32 rescan of each query's winning tile.
@@ -156,11 +225,35 @@ def main():
         except Exception as ex:
             print(f"phase1 tm={tm} tn={tn}: FAILED {str(ex)[:140]}", flush=True)
 
+    # --- subtile-id variant: big phase-1 tiles, ts=512 phase-2 gather ----
+    sub_results = {}
+    for tm, tn in ((1024, 2048), (2048, 2048), (1024, 4096), (2048, 4096)):
+        try:
+            t0 = time.perf_counter()
+            out = _phase1s(qc, eng.rc, eng.r2h, tm, tn, 512)
+            _ = np.asarray(out[0][:8])
+            c = time.perf_counter() - t0
+            best = np.inf
+            for _ in range(8):
+                t0 = time.perf_counter()
+                out = _phase1s(qc, eng.rc, eng.r2h, tm, tn, 512)
+                _ = np.asarray(out[0][:8])
+                best = min(best, time.perf_counter() - t0)
+            print(f"phase1s tm={tm} tn={tn} ts=512: best {best*1e3:.1f} ms "
+                  f"(compile {c:.1f}s)", flush=True)
+            sub_results[(tm, tn)] = best
+        except Exception as ex:
+            print(f"phase1s tm={tm} tn={tn}: FAILED {str(ex)[:140]}", flush=True)
+
     if not results:
         print("all phase-1 variants failed")
         return
     (btm, btn), bp1 = min(results.items(), key=lambda kv: kv[1])
     print(f"--> best phase1: ({btm}, {btn}) at {bp1*1e3:.1f} ms", flush=True)
+    if sub_results:
+        (stm, stn), sp1 = min(sub_results.items(), key=lambda kv: kv[1])
+        print(f"--> best phase1s: ({stm}, {stn}) at {sp1*1e3:.1f} ms",
+              flush=True)
 
     # --- phase-2 cost at the best tn (and one narrower) ------------------
     kp = eng.kp
@@ -217,6 +310,37 @@ def main():
         best = min(best, time.perf_counter() - t0)
     print(f"two-phase ({btm}, {btn}): best {best*1e3:.1f} ms, "
           f"cert_frac {cert.mean():.4f}", flush=True)
+
+    # --- end-to-end with the subtile kernel (phase 2 fixed at ts=512) ----
+    if sub_results:
+        ts = 512
+        n_pad_s = layouts.round_up(N, ts)
+        r_np_s = np.zeros((n_pad_s, kp), dtype=np.float32)
+        r_np_s[:N, :K] = refs
+        refs_ts = jax.device_put(r_np_s.reshape(-1, ts, kp))
+        r2h_np_s = np.full((n_pad_s,), np.inf, dtype=np.float32)
+        r2h_np_s[:N] = 0.5 * (refs.astype(np.float64) ** 2).sum(axis=1)
+        r2h_ts = jax.device_put(r2h_np_s.reshape(-1, ts))
+
+        def two_phase_sub():
+            min1, tid, m2x = _phase1s(qc, eng.rc, eng.r2h, stm, stn, ts)
+            i2, c2, _ = _phase2(q, refs_ts, r2h_ts, tid[:M, 0], min1[:M, 0],
+                                m2x[:M, 0], delta, ts)
+            return np.asarray(i2), np.asarray(c2)
+
+        idx_s, cert_s = two_phase_sub()
+        best = np.inf
+        for _ in range(8):
+            t0 = time.perf_counter()
+            idx_s, cert_s = two_phase_sub()
+            best = min(best, time.perf_counter() - t0)
+        print(f"two-phase-sub ({stm}, {stn}, ts=512): best {best*1e3:.1f} ms, "
+              f"cert_frac {cert_s.mean():.4f}", flush=True)
+        both_s = cert_s & cert
+        if both_s.any():
+            agree_s = (idx_s[both_s] == idx[both_s]).mean()
+            print(f"sub/plain agreement on co-certified rows: {agree_s:.6f}",
+                  flush=True)
 
     # correctness vs the production engine on certified rows
     _, pidx, pcert = eng.query_min_idx_cert(queries)
