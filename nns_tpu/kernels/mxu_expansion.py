@@ -109,9 +109,15 @@ def _cat_r(rh, rm, rl) -> jnp.ndarray:
     return jnp.concatenate([rh, rm, rh, rl, rh, rm], axis=0)
 
 
-def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref):
+def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
+                   *, ts: int, ns: int):
     """Min-only scan: per reference tile, one MXU pass + one VPU min-reduce.
-    Carries (min1, winning tile id, cross-tile runner-up m2x)."""
+    Carries (min1, winning SUBTILE id, cross-subtile runner-up m2x).
+
+    The tile spans ns subtiles of width ts; ids are carried at subtile
+    granularity so the phase-1 tile can grow (fewer grid steps) while the
+    phase-2 gather stays ts columns wide. ns == 1 degenerates to plain
+    per-tile ids at zero extra cost (sarg == 0, in-tile runner-up == inf)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -128,18 +134,39 @@ def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref):
     )
     # Half-expansion: e = |r|^2/2 - q.r (ranking-equivalent to the distance;
     # |q|^2 row-constant, the global 2x monotone).
-    tmin = jnp.min(r2h_ref[:] - cross, axis=1, keepdims=True)
+    e = r2h_ref[:] - cross
+    subs = [
+        jnp.min(e[:, c * ts:(c + 1) * ts], axis=1, keepdims=True)
+        for c in range(ns)
+    ]
+    smin = subs[0] if ns == 1 else jnp.concatenate(subs, axis=1)  # (tm, ns)
+    tmin = jnp.min(smin, axis=1, keepdims=True)
+    if ns == 1:
+        sarg = jnp.zeros(tmin.shape, dtype=jnp.int32)
+        smin2 = jnp.full(tmin.shape, jnp.inf, dtype=jnp.float32)
+    else:
+        scols = jax.lax.broadcasted_iota(jnp.int32, smin.shape, 1)
+        # Lowest subtile achieving tmin; its runner-up masks only that
+        # POSITION, so an in-tile cross-subtile duplicate lands in smin2.
+        sarg = jnp.min(jnp.where(smin == tmin, scols, ns), axis=1,
+                       keepdims=True)
+        smin2 = jnp.min(jnp.where(scols == sarg, jnp.inf, smin), axis=1,
+                        keepdims=True)
+    stid = j * ns + sarg
 
     # Duel with the carry. Strict < in ascending tile order keeps the
-    # earlier (lower-id) tile on an exact cross-tile tie, which then lands
-    # in m2x and fails the certificate — as a duplicate must.
+    # earlier (lower-id) subtile on an exact cross-tile tie, which then
+    # lands in m2x and fails the certificate — as a duplicate must.
     c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
     better = tmin < c1
     min1_ref[:] = jnp.where(better, tmin, c1)
-    tid_ref[:] = jnp.where(better, j, ct)
-    # Second-smallest TILE MINIMUM outside the winning tile: a new winner
-    # demotes the old one to runner-up; a loser competes with the carry.
-    m2x_ref[:] = jnp.where(better, c1, jnp.minimum(c2, tmin))
+    tid_ref[:] = jnp.where(better, stid, ct)
+    # Second-smallest SUBTILE MINIMUM outside the winning subtile: a new
+    # winner demotes the old one AND competes with its own in-tile
+    # runner-up; a loser competes with the carried runner-up.
+    m2x_ref[:] = jnp.where(
+        better, jnp.minimum(c1, smin2), jnp.minimum(c2, tmin)
+    )
 
 
 def _phase2_chunk(q, tid, m2x, refs_t, r2h_t, delta, tile_n):
@@ -167,9 +194,11 @@ def _phase2_chunk(q, tid, m2x, refs_t, r2h_t, delta, tile_n):
     return idx, cert, wmin1
 
 
-@functools.partial(jax.jit, static_argnames=("kp", "tile_m", "tile_n", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("kp", "tile_m", "tile_n", "ts", "interpret")
+)
 def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
-                     interpret):
+                     ts, interpret):
     """ONE dispatch for the whole query: k-pad + bf16 triple split +
     min-only Pallas phase 1 + winning-tile f32 rescan phase 2 +
     certificate, jitted together. Returns packed (4, m) f32
@@ -191,7 +220,7 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
 
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     min1, tid, m2x = pl.pallas_call(
-        _phase1_kernel,
+        functools.partial(_phase1_kernel, ts=ts, ns=tile_n // ts),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -207,10 +236,10 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
         interpret=interpret,
     )(qc, rc, r2h)
 
-    # Phase 2, chunked so the (mc, tile_n, kp) gather temp stays bounded
+    # Phase 2, chunked so the (mc, ts, kp) gather temp stays bounded
     # (~2M gathered points per step) even for concatenated query_many
     # queues.
-    mc = min(m_pad, max(_SUBLANE, ((1 << 21) // tile_n) // _SUBLANE * _SUBLANE))
+    mc = min(m_pad, max(_SUBLANE, ((1 << 21) // ts) // _SUBLANE * _SUBLANE))
     m_pad2 = layouts.round_up(m_pad, mc)
     qp = jnp.pad(q[:m], ((0, m_pad2 - m), (0, 0)))
     tidp = jnp.pad(tid[:m, 0], (0, m_pad2 - m))
@@ -219,7 +248,7 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
 
     def step(args):
         qck, tidk, m2xk = args
-        return _phase2_chunk(qck, tidk, m2xk, refs_t, r2h_t, delta, tile_n)
+        return _phase2_chunk(qck, tidk, m2xk, refs_t, r2h_t, delta, ts)
 
     idx2, cert2, min12 = jax.lax.map(
         step,
@@ -267,6 +296,12 @@ class MXUExpansion:
         self.kp = layouts.round_up(self.k, _SUBLANE)
         n_pad = layouts.round_up(self.n, max(tile_n, _LANE))
         self.tile_n = min(tile_n, n_pad)
+        # Phase-2 gather granularity: ids are carried per ts-wide subtile,
+        # so big phase-1 tiles don't inflate the phase-2 gather.
+        self.ts = min(512, self.tile_n)
+        if self.tile_n % self.ts:
+            raise ValueError(f"tile_n={self.tile_n} not a multiple of "
+                             f"subtile width {self.ts}")
         r = np.zeros((n_pad, self.kp), dtype=np.float32)
         r[: self.n, : self.k] = refs
         rh, rm, rl = _split_bf16x3(jnp.asarray(r))
@@ -280,13 +315,13 @@ class MXUExpansion:
         ).astype(np.float32)
         self.r2h = jax.device_put(jnp.asarray(r2h))
         # Phase-2 staging: raw f32 reference tiles + half-norms, tiled at
-        # the phase-1 tile_n so a winning tile id addresses one gather row.
-        n_tiles = n_pad // self.tile_n
+        # the subtile width so a winning subtile id addresses one gather row.
+        n_sub = n_pad // self.ts
         self.refs_t = jax.device_put(
-            jnp.asarray(r.reshape(n_tiles, self.tile_n, self.kp))
+            jnp.asarray(r.reshape(n_sub, self.ts, self.kp))
         )
         self.r2h_t = jax.device_put(
-            jnp.asarray(np.ascontiguousarray(r2h.reshape(n_tiles, self.tile_n)))
+            jnp.asarray(np.ascontiguousarray(r2h.reshape(n_sub, self.ts)))
         )
         self._r2_max = 2.0 * float(np.max(r2h[0, : self.n])) if self.n else 0.0
         self._fallback: FusedBruteForce | None = None
@@ -301,7 +336,7 @@ class MXUExpansion:
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
         packed = _expansion_query(
             jax.device_put(q_np), self.rc, self.r2h, self.refs_t, self.r2h_t,
-            jnp.float32(delta), self.kp, self.tile_m, self.tile_n,
+            jnp.float32(delta), self.kp, self.tile_m, self.tile_n, self.ts,
             _interpret(),
         )
         return np.asarray(packed)  # single host fetch

@@ -77,6 +77,29 @@ def test_k_not_sublane_multiple():
     assert recall_at_1(idx, queries, refs) == 1.0
 
 
+def test_subtile_ids_ns_gt_1_exact():
+    # tile_n=1024 with the fixed 512-wide subtile gather -> ns=2: subtile
+    # ids, in-tile runner-up, and the phase-2 rescan must stay exact.
+    rng = np.random.default_rng(8)
+    refs = rng.random((3000, 16), dtype=np.float32)
+    queries = rng.random((65, 16), dtype=np.float32)
+    eng = MXUExpansion(refs, tile_m=32, tile_n=1024)
+    assert eng.ts == 512 and eng.tile_n // eng.ts == 2
+    _, idx, cert = eng.query_min_idx_cert(queries)
+    oracle = _oracle(queries, refs)
+    assert cert.mean() > 0.9
+    assert (idx[cert] == oracle[cert]).all()
+    assert recall_at_1(eng.query(queries), queries, refs) == 1.0
+    # In-tile cross-subtile duplicate: both copies inside one phase-1 tile
+    # but different subtiles -> the runner-up subtile minimum must catch it.
+    refs2 = refs.copy()
+    refs2[700] = refs2[100]  # subtile 1 vs subtile 0 of tile 0
+    eng2 = MXUExpansion(refs2, tile_m=32, tile_n=1024)
+    _, idx2, cert2 = eng2.query_min_idx_cert(refs2[100:101].copy())
+    assert not cert2[0]
+    assert int(eng2.query(refs2[100:101].copy())[0]) in (100, 700)
+
+
 def test_id_halves_unpack_exactly_past_2_24():
     # Ids transit the packed fetch as two f32-exact halves; the unpack
     # must be exact up to the 2^25 staging cap (above the old f32 2^24
