@@ -54,6 +54,7 @@ seeded batch (else the benchmark reports value 0).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
@@ -65,7 +66,9 @@ K = 3
 SEED = 1000
 BASELINE_QPS = 2_000_000.0  # north-star target (see module docstring)
 
-W = 448           # distinct staged batches, drained by one device program
+# Distinct staged batches, drained by one device program. Env-overridable
+# so knee re-sweeps don't need code edits (the graded default stays 448).
+W = int(os.environ.get("NNS_BENCH_W", "448"))
 MIN_TRIALS = 12
 MAX_TRIALS = 96
 PATIENCE = 10     # stop when the best hasn't improved for this many trials
