@@ -88,7 +88,7 @@ def _spread(ms: list[float]) -> str:
     )
 
 
-def _wait_for_backend(attempts: int = 12, probe_timeout_s: int = 90) -> None:
+def _wait_for_backend(attempts: int = 40, probe_timeout_s: int = 90) -> None:
     """Probe backend init in a SUBPROCESS before touching jax in-process.
 
     The axon tunnel can hang jax.devices() indefinitely during outages

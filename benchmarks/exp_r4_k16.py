@@ -42,108 +42,17 @@ from nns_tpu.kernels import layouts
 from nns_tpu.kernels.mxu_expansion import (
     MXUExpansion,
     _cat_q,
+    _phase1_kernel,
     _split_bf16x3,
 )
 
 M, N, K = 10240, 1 << 20, 16
 
 
-def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref):
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
-        tid_ref[:] = jnp.zeros(tid_ref.shape, dtype=jnp.int32)
-        m2x_ref[:] = jnp.full(m2x_ref.shape, jnp.inf, dtype=jnp.float32)
-
-    cross = jax.lax.dot_general(
-        qc_ref[:], rc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    tmin = jnp.min(r2h_ref[:] - cross, axis=1, keepdims=True)
-    c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
-    better = tmin < c1
-    min1_ref[:] = jnp.where(better, tmin, c1)
-    tid_ref[:] = jnp.where(better, j, ct)
-    # second-smallest TILE MINIMUM outside the winning tile: if the new
-    # tile wins, the old winner's min is the runner-up; else the new
-    # tile's min competes with the carried runner-up.
-    m2x_ref[:] = jnp.where(better, c1, jnp.minimum(c2, tmin))
-
-
-@functools.partial(jax.jit, static_argnames=("tm", "tn"))
-def _phase1(qc, rc, r2h, tm, tn):
-    m_pad = layouts.round_up(qc.shape[0], 8)
-    if m_pad != qc.shape[0]:
-        qc = jnp.pad(qc, ((0, m_pad - qc.shape[0]), (0, 0)))
-    kc = qc.shape[1]
-    grid = (pl.cdiv(m_pad, tm), pl.cdiv(rc.shape[1], tn))
-    o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        _phase1_kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(o_spec, o_spec, o_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
-            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
-        ),
-        interpret=False,
-    )(qc, rc, r2h)
-
-
-def _phase1_sub_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
-                       *, ts: int, ns: int):
-    """Like _phase1_kernel but the carried id is a SUBTILE id at width ts
-    (tile covers ns subtiles), so phase-1 tiles can grow (fewer grid
-    steps) while the phase-2 gather stays at ts columns."""
-    j = pl.program_id(1)
-
-    @pl.when(j == 0)
-    def _():
-        min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
-        tid_ref[:] = jnp.zeros(tid_ref.shape, dtype=jnp.int32)
-        m2x_ref[:] = jnp.full(m2x_ref.shape, jnp.inf, dtype=jnp.float32)
-
-    cross = jax.lax.dot_general(
-        qc_ref[:], rc_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    e = r2h_ref[:] - cross
-    subs = [
-        jnp.min(e[:, c * ts:(c + 1) * ts], axis=1, keepdims=True)
-        for c in range(ns)
-    ]
-    smin = jnp.concatenate(subs, axis=1)            # (tm, ns)
-    tmin = jnp.min(smin, axis=1, keepdims=True)
-    scols = jax.lax.broadcasted_iota(jnp.int32, smin.shape, 1)
-    sarg = jnp.min(jnp.where(smin == tmin, scols, ns), axis=1, keepdims=True)
-    smin2 = jnp.min(jnp.where(scols == sarg, jnp.inf, smin), axis=1,
-                    keepdims=True)                  # runner-up subtile IN tile
-    stid = j * ns + sarg
-
-    c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
-    better = tmin < c1
-    min1_ref[:] = jnp.where(better, tmin, c1)
-    tid_ref[:] = jnp.where(better, stid, ct)
-    # Two-min merge over subtile minima: a new winner demotes the old one
-    # AND competes with its own in-tile runner-up; a loser competes with
-    # the carried runner-up.
-    m2x_ref[:] = jnp.where(
-        better, jnp.minimum(c1, smin2), jnp.minimum(c2, tmin)
-    )
-
-
 @functools.partial(jax.jit, static_argnames=("tm", "tn", "ts"))
 def _phase1s(qc, rc, r2h, tm, tn, ts):
+    """The PRODUCTION phase-1 kernel (subtile ids; ts == tn -> plain
+    per-tile ids) at arbitrary tile shapes, for the sweep."""
     m_pad = layouts.round_up(qc.shape[0], 8)
     if m_pad != qc.shape[0]:
         qc = jnp.pad(qc, ((0, m_pad - qc.shape[0]), (0, 0)))
@@ -151,7 +60,7 @@ def _phase1s(qc, rc, r2h, tm, tn, ts):
     grid = (pl.cdiv(m_pad, tm), pl.cdiv(rc.shape[1], tn))
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_phase1_sub_kernel, ts=ts, ns=tn // ts),
+        functools.partial(_phase1_kernel, ts=ts, ns=tn // ts),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
@@ -166,6 +75,11 @@ def _phase1s(qc, rc, r2h, tm, tn, ts):
         ),
         interpret=False,
     )(qc, rc, r2h)
+
+
+def _phase1(qc, rc, r2h, tm, tn):
+    """Plain per-tile ids (ns == 1)."""
+    return _phase1s(qc, rc, r2h, tm, tn, tn)
 
 
 @functools.partial(jax.jit, static_argnames=("tn",))

@@ -297,11 +297,10 @@ class MXUExpansion:
         n_pad = layouts.round_up(self.n, max(tile_n, _LANE))
         self.tile_n = min(tile_n, n_pad)
         # Phase-2 gather granularity: ids are carried per ts-wide subtile,
-        # so big phase-1 tiles don't inflate the phase-2 gather.
-        self.ts = min(512, self.tile_n)
-        if self.tile_n % self.ts:
-            raise ValueError(f"tile_n={self.tile_n} not a multiple of "
-                             f"subtile width {self.ts}")
+        # so big phase-1 tiles don't inflate the phase-2 gather. For a
+        # tile_n that 512 doesn't divide (e.g. 768), fall back to per-tile
+        # ids (ts = tile_n) — correct, just a wider gather.
+        self.ts = 512 if self.tile_n % 512 == 0 else self.tile_n
         r = np.zeros((n_pad, self.kp), dtype=np.float32)
         r[: self.n, : self.k] = refs
         rh, rm, rl = _split_bf16x3(jnp.asarray(r))
@@ -331,8 +330,10 @@ class MXUExpansion:
         m, k = q_np.shape
         if k != self.k:
             raise ValueError(f"dimension mismatch: queries k={k}, refs k={self.k}")
+        if m == 0:
+            return np.zeros((4, 0), dtype=np.float32)
         # Host-side scale bound (avoids a device round-trip pre-kernel).
-        q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max()) if m else 0.0
+        q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max())
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
         packed = _expansion_query(
             jax.device_put(q_np), self.rc, self.r2h, self.refs_t, self.r2h_t,
@@ -354,8 +355,27 @@ class MXUExpansion:
     def query(self, queries):
         """Exact 1-NN indices; uncertified queries re-answered by the
         direct-f32 fused scan (rare: expansion ties / duplicates) over a
-        staged-once reference set."""
-        packed = self._query_packed(queries)
+        staged-once reference set.
+
+        Graceful degradation (SURVEY.md §5 contract): if the expansion
+        dispatch itself fails — e.g. a Mosaic block-shape rejection of a
+        tile configuration on real hardware that the CPU interpreter
+        accepted — the whole batch is answered by the exact fused scan
+        instead of erroring out of the version."""
+        try:
+            packed = self._query_packed(queries)
+        except ValueError:
+            raise  # caller errors (shape mismatch) are not degradation
+        except Exception as ex:  # pragma: no cover - backend-specific
+            import sys
+
+            print(f"[mxu_expansion] expansion dispatch failed "
+                  f"({type(ex).__name__}); falling back to the exact fused "
+                  f"scan", file=sys.stderr, flush=True)
+            if self._fallback is None:
+                self._fallback = FusedBruteForce(self.refs)
+            q_np = np.asarray(queries, dtype=np.float32)
+            return np.asarray(self._fallback.query(q_np)).astype(np.int32)
         idx = self._unpack_idx(packed)
         cert = packed[3] > 0.5
         if cert.all():

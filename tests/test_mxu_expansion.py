@@ -100,6 +100,25 @@ def test_subtile_ids_ns_gt_1_exact():
     assert int(eng2.query(refs2[100:101].copy())[0]) in (100, 700)
 
 
+def test_empty_query_batch():
+    rng = np.random.default_rng(9)
+    refs = rng.random((300, 16), dtype=np.float32)
+    eng = MXUExpansion(refs, tile_m=8, tile_n=128)
+    idx = eng.query(np.zeros((0, 16), dtype=np.float32))
+    assert idx.shape == (0,)
+    min1, idx2, cert = eng.query_min_idx_cert(np.zeros((0, 16), np.float32))
+    assert min1.shape == idx2.shape == cert.shape == (0,)
+
+
+def test_tile_n_not_multiple_of_512_falls_back_to_per_tile_ids():
+    rng = np.random.default_rng(10)
+    refs = rng.random((2000, 16), dtype=np.float32)
+    queries = rng.random((40, 16), dtype=np.float32)
+    eng = MXUExpansion(refs, tile_m=16, tile_n=768)
+    assert eng.ts == 768  # per-tile ids, wider phase-2 gather
+    assert recall_at_1(eng.query(queries), queries, refs) == 1.0
+
+
 def test_id_halves_unpack_exactly_past_2_24():
     # Ids transit the packed fetch as two f32-exact halves; the unpack
     # must be exact up to the 2^25 staging cap (above the old f32 2^24
