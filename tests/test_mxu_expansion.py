@@ -100,6 +100,40 @@ def test_subtile_ids_ns_gt_1_exact():
     assert int(eng2.query(refs2[100:101].copy())[0]) in (100, 700)
 
 
+def test_certificate_boundary_near_ties():
+    """Adversarial near-ties: runner-up expansion gaps swept around the
+    delta band. Whether the certificate passes is the engine's call, but
+    whenever it passes the answer must be a true nearest neighbor, and
+    query() must be exact regardless (tie-tolerant)."""
+    rng = np.random.default_rng(12)
+    k = 16
+    base = rng.random((500, k)).astype(np.float32) + 2.0  # background cloud
+    q = np.zeros((1, k), dtype=np.float32)
+    # With q = 0, e = |r|^2/2: place winner at radius ~1 and runner-up at
+    # a controlled e-gap g (delta at this scale ~ 2^-21 * 16 * (0 + ~70)).
+    for g_rel in (0.0, 1e-7, 1e-6, 1e-5, 1e-3, 1e-1):
+        refs = base.copy()
+        refs[7] = 0.0
+        refs[7, 0] = 1.0                     # e = 0.5
+        refs[313] = 0.0
+        refs[313, 0] = np.float32(np.sqrt(1.0 + 2.0 * g_rel))  # e ~ 0.5 + g
+        eng = MXUExpansion(refs, tile_m=8, tile_n=128)
+        _, idx, cert = eng.query_min_idx_cert(q)
+        oracle = _oracle(q, refs)
+        if cert[0]:
+            d_win = ((refs[idx[0]].astype(np.float64)) ** 2).sum()
+            d_true = ((refs[oracle[0]].astype(np.float64)) ** 2).sum()
+            assert d_win == d_true, f"certified wrong answer at g={g_rel}"
+        out = int(eng.query(q)[0])
+        d_out = ((refs[out].astype(np.float64) - 0.0) ** 2).sum()
+        d_true = ((refs[oracle[0]].astype(np.float64)) ** 2).sum()
+        assert d_out == d_true, f"inexact answer at g={g_rel}"
+        # Far past the band the certificate must actually engage (2*delta
+        # at this scale is ~2.2e-3: k=16, r2_max ~ 144).
+        if g_rel >= 1e-1:
+            assert cert[0], f"certificate failed on a clear gap g={g_rel}"
+
+
 def test_empty_query_batch():
     rng = np.random.default_rng(9)
     refs = rng.random((300, 16), dtype=np.float32)
