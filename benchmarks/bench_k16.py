@@ -24,8 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-N_REFS = 1 << 20
-N_QUERIES = 10_000
+N_REFS = int(os.environ.get("NNS_BENCH_N", str(1 << 20)))
+N_QUERIES = int(os.environ.get("NNS_BENCH_M", str(10_000)))
 K = 16
 SEED = 1000
 W = int(os.environ.get("NNS_BENCH_K16_W", "8"))
@@ -82,15 +82,20 @@ def main() -> int:
         f"best {a.min():.1f} / p50 {np.percentile(a, 50):.1f} / "
         f"max {a.max():.1f} ms/batch over {len(a)} trials -> {qps:,.0f} qps")
 
-    sub = np.random.default_rng(0).choice(N_QUERIES, 512, replace=False)
+    sub = np.random.default_rng(0).choice(
+        N_QUERIES, min(512, N_QUERIES), replace=False
+    )
     recall = recall_at_1(np.asarray(idx0)[:N_QUERIES][sub],
                          batches[0][sub], refs)
     log(f"[bench_k16] recall@1 (512-query f64 oracle subsample): {recall}; "
         f"certificate fraction (batch 0): {np.asarray(cert0).mean():.4f}")
 
     value = qps if recall == 1.0 else 0.0
+    metric = "exact_1nn_qps_1M_refs_10k_queries_k16_1chip"
+    if (N_REFS, N_QUERIES) != (1 << 20, 10_000):  # smoke-test override
+        metric = f"exact_1nn_qps_{N_REFS}_refs_{N_QUERIES}_queries_k16_1chip"
     print(json.dumps({
-        "metric": "exact_1nn_qps_1M_refs_10k_queries_k16_1chip",
+        "metric": metric,
         "value": round(value, 1),
         "unit": "queries/sec",
     }))
