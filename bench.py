@@ -75,6 +75,11 @@ MIN_TRIALS = 12
 MAX_TRIALS = 96
 PATIENCE = 10     # stop when the best hasn't improved for this many trials
 TIME_CAP_S = 150.0
+# Soft deadline for the SECONDARY stages (full download / serial), measured
+# from script start. The headline drain and the correctness gate always run
+# to completion; once past this budget the secondaries shrink to their
+# 1-trial minimum so a slow tunnel window can't starve the JSON line.
+SOFT_DEADLINE_S = float(os.environ.get("NNS_BENCH_DEADLINE", "420"))
 
 
 def log(msg: str) -> None:
@@ -117,6 +122,7 @@ def _wait_for_backend(attempts: int = 40, probe_timeout_s: int = 90) -> None:
 
 
 def main() -> int:
+    t_script0 = time.perf_counter()
     _wait_for_backend()
     import jax
 
@@ -200,6 +206,9 @@ def main() -> int:
         # pay the ~35 ms floor W times).
         full_np = np.asarray(jnp.stack(out))
         full_times.append((time.perf_counter() - t0) / W * 1e3)
+        if time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
+            log("[bench] soft deadline reached; truncating full-download trials")
+            break
     full_best = min(full_times)
     log(
         f"[bench] with full {full_np.nbytes/1e6:.1f} MB result download: "
@@ -220,6 +229,9 @@ def main() -> int:
         packed, order, qm = engine.stage(qb)
         out = np.asarray(engine.query_staged(packed, qm))
         serial_best = min(serial_best, time.perf_counter() - t0)
+        if time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
+            log("[bench] soft deadline reached; truncating serial trials")
+            break
     log(
         f"[bench] serial (staging incl): {serial_best*1e3:.2f} ms/batch "
         f"-> {N_QUERIES/serial_best:,.0f} qps"

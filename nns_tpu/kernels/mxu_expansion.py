@@ -269,16 +269,21 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
 class MXUExpansion:
     """Prepare-once / query-many engine for the triple-bf16 MXU path.
 
-    Default tiles are (1024, 512): reference streaming costs ceil(m/tile_m)
+    Default tiles are (1024, 4096): reference streaming costs ceil(m/tile_m)
     HBM passes over the 192 MB rc tensor (at 1M refs), so tall query tiles
-    with narrow ref tiles beat the fused scan's (256, 2048) — the round-3
-    sweep measured 68.5 -> 61.8 ms same-process at k=16, m=10K, n=1M
-    (tm=2048 collapses: 192 ms, VMEM thrash)."""
+    win; with the two-phase kernel carrying only three (tm, 1) vectors
+    across the grid, wide ref tiles cut grid steps 8x with no epilogue
+    VMEM growth (ids stay at ts=512 subtile granularity, so the phase-2
+    gather does not widen). Real-chip A/B of the production single-jit
+    path at k=16, m=10K, n=1M (benchmarks/drive_r3_v9_tiles.py, one
+    process, fetch floor ~35 ms included): (1024, 512) 72.5 ms,
+    (2048, 1024) 70.2, (1024, 2048) 67.8, (1024, 4096) 64.2 — all at
+    recall 1.0, cert_frac 0.9835."""
 
     def __init__(self, refs, tile_m: int | None = None,
                  tile_n: int | None = None):
         tile_m = 1024 if tile_m is None else tile_m
-        tile_n = 512 if tile_n is None else tile_n
+        tile_n = 4096 if tile_n is None else tile_n
         refs = np.asarray(refs, dtype=np.float32)
         self.refs = refs
         self.n, self.k = refs.shape
