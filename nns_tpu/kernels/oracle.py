@@ -26,13 +26,20 @@ _CHUNK = 128
 
 def _dists_f64(q_chunk: np.ndarray, refs: np.ndarray) -> np.ndarray:
     """Exact-ish squared L2 distances, (chunk, n) float64, accumulated per-dim
-    to avoid a (chunk, n, k) intermediate."""
+    to avoid a (chunk, n, k) intermediate. Direct (q-r)^2 arithmetic (the
+    expansion form would bound error at ~1e-12 relative — fine vs the 1e-9
+    tie tolerance, but the oracle is the ground truth, so keep it sharp).
+    One reused (chunk, n) scratch: fresh numpy temporaries per dim cost
+    ~3 GB of allocator/page churn each at n=1M, which made a 512-query
+    k=16 oracle check take minutes on a slow host."""
     q = q_chunk.astype(np.float64)
     r = refs.astype(np.float64)
     out = np.zeros((q.shape[0], r.shape[0]), dtype=np.float64)
+    buf = np.empty_like(out)
     for d in range(q.shape[1]):
-        diff = q[:, d, None] - r[None, :, d]
-        out += diff * diff
+        np.subtract(q[:, d, None], r[None, :, d], out=buf)
+        np.multiply(buf, buf, out=buf)
+        out += buf
     return out
 
 
