@@ -26,18 +26,22 @@ are measured and logged alongside — neither is the headline, and every
 quote of the headline must name the staged-queue protocol (they pipeline
 against the next drain in a steady-state server).
 
-W = 448 sits at the measured knee of fetch-floor amortization (the sync
+W = 640 sits at the measured knee of fetch-floor amortization (the sync
 fetch costs ~35 ms REGARDLESS of size through the tunnel and does not
 overlap with compute; the kernel is ~0.25 ms/batch of device time, xplane
 profile). With the round-2 kernel the knee was W=160 (1.66 ms/batch at
 W=32 down to 0.92-0.96 at 160-192); the round-3 kernel's lower device
 floor pushed it out: measured per-batch 0.67 at W=160, 0.58 at 256, 0.556
-at 320, 0.523 at 448, 0.494 at 640, all one process. Past 448 the gain
-(~5%) no longer justifies the one-time compile (minutes at W=448,
-persistent-cached) and staging growth. The late-round-3 drain returns
-winner tables in the kernel's native (G, QM, 1) shape (no device-side
-flatten — XLA lowered the squeeze to a 0.086 ms/batch relayouting reduce)
-and picks gb=14: measured 0.36 ms/batch (27.8M qps).
+at 320, 0.523 at 448, 0.494 at 640, all one process. The late-round-3
+drain returns winner tables in the kernel's native (G, QM, 1) shape (no
+device-side flatten — XLA lowered the squeeze to a 0.086 ms/batch
+relayouting reduce) and picks gb=14: measured 0.36 ms/batch at W=448
+(27.8M qps) and 0.33 ms/batch at W=640 (30.0M qps, spread
+0.33/0.34/0.39/0.40 over 23 trials). W=896 regresses to 0.76 ms/batch:
+that queue depth crosses a staging threshold that doubles every batch's
+winner table (314.7 vs the expected ~157 MB full download), so the
+default stays at the measured 640 knee. One-time compiles per W are
+minutes, persistent-cached.
 
 Robustness: the tunnel's throughput swings 2-3x between minutes (identical
 code measured 1.46-4.1 ms/batch across one round-2 session, and the round-2
@@ -70,7 +74,7 @@ BASELINE_QPS = 2_000_000.0  # north-star target (see module docstring)
 
 # Distinct staged batches, drained by one device program. Env-overridable
 # so knee re-sweeps don't need code edits (the graded default stays 448).
-W = int(os.environ.get("NNS_BENCH_W", "448"))
+W = int(os.environ.get("NNS_BENCH_W", "640"))
 MIN_TRIALS = 12
 MAX_TRIALS = 96
 PATIENCE = 10     # stop when the best hasn't improved for this many trials
@@ -192,9 +196,41 @@ def main() -> int:
         f"sync fetch): {_spread(times)} -> {qps:,.0f} qps"
     )
 
+    # Correctness gate + the graded JSON line, BEFORE the secondary
+    # measurements: a slow tunnel window can inflate the secondaries past
+    # any external cap on this script, and the graded artifact must not
+    # be hostage to them (observed: a 590 s cap expired mid-secondaries
+    # while the drain + gate were long done).
+    certificate_ok = bool(np.asarray(ok0).all())
+    log(f"[bench] exactness certificate holds for all queries: {certificate_ok}")
+    idx_np = np.asarray(idx0)
+    sub = np.random.default_rng(0).choice(
+        N_QUERIES, size=min(512, N_QUERIES), replace=False
+    )
+    recall = recall_at_1(idx_np[sub], queries[sub], refs)
+    log(f"[bench] recall@1 (512-query f64 oracle subsample): {recall}")
+
+    value = qps if (recall == 1.0 and certificate_ok) else 0.0
+    metric = "exact_1nn_qps_1M_refs_10k_queries_k3_1chip"
+    if (N_REFS, N_QUERIES) != (1_000_000, 10_000):  # smoke-test override
+        metric = f"exact_1nn_qps_{N_REFS}_refs_{N_QUERIES}_queries_k3_1chip"
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(value, 1),
+                "unit": "queries/sec",
+                "vs_baseline": round(value / BASELINE_QPS, 4),
+            }
+        ),
+        flush=True,
+    )
+
     # Secondary: full-queue results downloaded to host (the tunnel charges
     # ~25 ms/MB on fetches; in a pipelined server this transfer overlaps the
-    # next drain, so it is reported but not the headline).
+    # next drain, so it is reported but not the headline). The mid-queue
+    # cross-check needs at least one download, so the first trial always
+    # runs; later trials stop at the soft deadline.
     full_times = []
     full_np = None
     import jax.numpy as jnp
@@ -225,41 +261,19 @@ def main() -> int:
     # dispatch + fetch, nothing overlapped — the honest single-request number).
     serial_best = float("inf")
     for qb in batches[:4]:
+        if (serial_best < float("inf")
+                and time.perf_counter() - t_script0 > SOFT_DEADLINE_S):
+            log("[bench] soft deadline reached; truncating serial trials")
+            break
         t0 = time.perf_counter()
         packed, order, qm = engine.stage(qb)
         out = np.asarray(engine.query_staged(packed, qm))
         serial_best = min(serial_best, time.perf_counter() - t0)
-        if time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
-            log("[bench] soft deadline reached; truncating serial trials")
-            break
     log(
         f"[bench] serial (staging incl): {serial_best*1e3:.2f} ms/batch "
         f"-> {N_QUERIES/serial_best:,.0f} qps"
     )
 
-    certificate_ok = bool(np.asarray(ok0).all())
-    log(f"[bench] exactness certificate holds for all queries: {certificate_ok}")
-    idx_np = np.asarray(idx0)
-    sub = np.random.default_rng(0).choice(
-        N_QUERIES, size=min(512, N_QUERIES), replace=False
-    )
-    recall = recall_at_1(idx_np[sub], queries[sub], refs)
-    log(f"[bench] recall@1 (512-query f64 oracle subsample): {recall}")
-
-    value = qps if (recall == 1.0 and certificate_ok) else 0.0
-    metric = "exact_1nn_qps_1M_refs_10k_queries_k3_1chip"
-    if (N_REFS, N_QUERIES) != (1_000_000, 10_000):  # smoke-test override
-        metric = f"exact_1nn_qps_{N_REFS}_refs_{N_QUERIES}_queries_k3_1chip"
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "queries/sec",
-                "vs_baseline": round(value / BASELINE_QPS, 4),
-            }
-        )
-    )
     return 0 if recall == 1.0 else 1
 
 
