@@ -17,7 +17,8 @@ import time
 import numpy as np
 
 M, N, K = 10240, 1 << 20, 16
-CONFIGS = ((1024, 512), (2048, 1024), (1024, 2048), (1024, 4096))
+CONFIGS = ((1024, 512), (2048, 1024), (1024, 2048), (1024, 4096),
+           (2048, 2048), (2048, 4096))
 
 
 def main() -> None:
