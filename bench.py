@@ -37,13 +37,17 @@ drain returns winner tables in the kernel's native (G, QM, 1) shape (no
 device-side flatten — XLA lowered the squeeze to a 0.086 ms/batch
 relayouting reduce) and picks gb=14: measured 0.36 ms/batch at W=448
 (27.8M qps), 0.33 at W=640 (30.2M qps), 0.32 at W=768 (31.4M qps,
-spread 0.32/0.32/0.34/0.34 over 12 trials). W=896 regresses to
-0.76 ms/batch: the seeded queue's batch index 800 has a per-supercell
-max of 18 queries, bumping the shared pow2 q_max 16 -> 32 and doubling
-every batch's (G, QM) winner table (314.7 vs ~157 MB full download) —
-verified by a host-side staging sweep (max raw q_max stays 16 through
-W=800, so 768 is the deepest pow2-multiple knee). One-time compiles per
-W are minutes, persistent-cached.
+spread 0.32/0.32/0.34/0.34 over 12 trials). W=896 with shared-QM
+staging regressed to 0.76 ms/batch: the seeded queue's batch index 800
+has a per-supercell max of 18 queries, bumping the shared pow2 q_max
+16 -> 32 and doubling every batch's (G, QM) winner table (314.7 vs
+~157 MB full download) — isolated by a host-side staging sweep (max raw
+q_max stays 16 through W=800). Staging is therefore RAGGED now
+(stage_queue_ragged: each batch keeps its own pow2 q_max; the tuple
+drain compiles per-shape), which removes that cliff entirely; W stays
+at 768 because deeper queues buy ~42/W ms/batch of fetch share at the
+cost of linearly more host staging inside the graded run's external
+time cap. One-time compiles per W are minutes, persistent-cached.
 
 Robustness: the tunnel's throughput swings 2-3x between minutes (identical
 code measured 1.46-4.1 ms/batch across one round-2 session, and the round-2
@@ -155,17 +159,21 @@ def main() -> int:
         (rng.random((N_QUERIES, K), dtype=np.float32) * (hi - lo) + lo).astype(np.float32)
         for _ in range(W - 1)
     ]
-    dstack, fstack, orders = engine.stage_queue(batches)
-    assert dstack is not None, "benchmark batch unexpectedly exceeded q_max_limit"
+    denses, fslots, orders = engine.stage_queue_ragged(batches)
+    assert denses is not None, "benchmark batch unexpectedly exceeded q_max_limit"
     # Per-batch device arrays: the tuple drain skips the per-batch
-    # dynamic-slice relayout the stacked form pays (~0.1 ms/batch).
-    dq = tuple(jax.device_put(list(dstack)))
-    fq = jax.device_put(fstack)
-    jax.block_until_ready((dq, fq))
+    # dynamic-slice relayout the stacked form pays (~0.1 ms/batch), and
+    # ragged staging keeps each batch at its OWN pow2 q_max (one skewed
+    # batch can no longer double every batch's winner table — the W=896
+    # cliff of the shared-QM form).
+    dq = tuple(jax.device_put(denses))
+    jax.block_until_ready(dq)
+    row_sizes = [d.shape[0] * d.shape[1] for d in denses]
+    offs = np.concatenate([[0], np.cumsum(row_sizes)])
 
     # Warm-up: compile + settle; also the correctness batch.
     idx0, ok0 = engine.query_with_flags(queries)
-    _ = np.asarray(engine.query_queue_staged(dq, fq)[-1])
+    _ = np.asarray(engine.query_queue_staged(dq)[-1])
 
     # Headline: one dispatch drains all W batches; adaptive trial budget.
     times: list[float] = []
@@ -174,7 +182,7 @@ def main() -> int:
     t_start = time.perf_counter()
     while len(times) < MAX_TRIALS:
         t0 = time.perf_counter()
-        out = engine.query_queue_staged(dq, fq)
+        out = engine.query_queue_staged(dq)
         _ = np.asarray(out[-1])  # sync: final batch's (G, QM, 1) i32 winner table
         per_batch = (time.perf_counter() - t0) / W
         times.append(per_batch * 1e3)
@@ -239,10 +247,11 @@ def main() -> int:
 
     for _ in range(6):
         t0 = time.perf_counter()
-        out = engine.query_queue_staged(dq, fq)
-        # One device-side stack -> ONE tunnel fetch (per-row fetches would
-        # pay the ~35 ms floor W times).
-        full_np = np.asarray(jnp.stack(out))
+        out = engine.query_queue_staged(dq)
+        # One device-side concat of flattened rows -> ONE tunnel fetch
+        # (per-row fetches would pay the ~35 ms floor W times; rows are
+        # ragged in QM, so concat, not stack).
+        full_np = np.asarray(jnp.concatenate([r.reshape(-1) for r in out]))
         full_times.append((time.perf_counter() - t0) / W * 1e3)
         if time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
             log("[bench] soft deadline reached; truncating full-download trials")
@@ -255,7 +264,8 @@ def main() -> int:
     # Answers of every drained batch must match the per-batch path (the
     # queue result is the serving answer, not a timing artifact).
     b = min(5, W - 1)  # a mid-queue batch
-    idx_b, ok_b = engine.unscatter_queue(full_np[b], fstack[b], orders[b])
+    idx_b, ok_b = engine.unscatter_queue(
+        full_np[offs[b]:offs[b + 1]], fslots[b], orders[b])
     chk, okc = engine.query_with_flags(batches[b])
     assert np.array_equal(idx_b[ok_b], np.asarray(chk)[ok_b]), "queue/batch mismatch"
 

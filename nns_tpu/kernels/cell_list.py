@@ -547,6 +547,32 @@ class CellListEngine:
             q_max, self.D ** 3, _interpret(), group_batch,
         )
 
+    def stage_queue_ragged(self, batches):
+        """Ragged queue staging for the tuple drain: each batch keeps its
+        OWN pow2 q_max instead of sharing the queue-wide max, so one
+        skewed batch cannot inflate every other batch's dense tensor and
+        winner table (`stage_queue`'s shared-QM stacking doubles the
+        whole queue's download the moment any batch crosses a pow2
+        boundary — observed: one 18-query supercell in a 896-deep queue).
+        The tuple drain traces one scan per batch, so mixed shapes share
+        one device program. Returns (denses [list of (G, qm_b, 3)],
+        fslots [list of (m,) i32], orders), or (None, None, None) when
+        any batch is too skewed for the dense kernel."""
+        g_total = self.D ** 3
+        denses, flats, orders = [], [], []
+        for qb in batches:
+            packed, order, q_max = self.stage(qb)
+            if packed is None:
+                return None, None, None
+            sid = packed[:, 3].astype(np.int64)
+            pos = packed[:, 4].astype(np.int64)
+            dense = np.zeros((g_total, q_max, 3), np.float32)
+            dense[sid, pos] = packed[:, :3]
+            denses.append(dense)
+            flats.append((sid * q_max + pos).astype(np.int32))
+            orders.append(order)
+        return denses, flats, orders
+
     def stage_queue(self, batches):
         """Queue-form staging: bucket several equal-sized query batches on
         host straight into dense per-supercell tensors plus flat winner

@@ -235,6 +235,36 @@ def test_query_queue_matches_single_batch():
         assert_exact(idx_q[ok_q], qb[ok_q], r)
 
 
+def test_ragged_queue_mixed_q_max_matches_single_batch():
+    # stage_queue_ragged keeps per-batch pow2 q_max: a skewed batch (a
+    # concentrated cluster forcing a larger q_max) must not inflate the
+    # other batches' tensors, and the mixed-shape tuple drain must agree
+    # exactly with per-batch queries.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(31)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+    uniform = [rng.random((400, 3), dtype=np.float32) for _ in range(2)]
+    # One batch concentrated in a tiny corner box -> many queries share a
+    # supercell -> q_max far above the uniform batches'.
+    skewed = (rng.random((400, 3), dtype=np.float32) * 0.02).astype(np.float32)
+    batches = [uniform[0], skewed, uniform[1]]
+    denses, fslots, orders = eng.stage_queue_ragged(batches)
+    assert denses is not None
+    qms = [d.shape[1] for d in denses]
+    assert qms[1] > qms[0], "skewed batch should need a larger q_max"
+    assert qms[0] == qms[2], "uniform batches must keep their small q_max"
+    out = eng.query_queue_staged(tuple(denses))
+    assert isinstance(out, tuple) and len(out) == 3
+    for w, qb in enumerate(batches):
+        idx_q, ok_q = eng.unscatter_queue(np.asarray(out[w]), fslots[w], orders[w])
+        idx_single, ok_single = eng.query_with_flags(qb)
+        np.testing.assert_array_equal(ok_q, ok_single)
+        np.testing.assert_array_equal(idx_q[ok_q], idx_single[ok_single])
+        assert_exact(idx_q[ok_q], qb[ok_q], r)
+
+
 def test_beam_checkpoint_roundtrip(tmp_path):
     # A clustered-promoted v14 engine must checkpoint as a beam index and
     # load back through NNEngine.load's format sniffing.
