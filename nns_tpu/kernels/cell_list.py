@@ -343,6 +343,11 @@ class CellListEngine:
     """Prepare-once/query-many exact NN for k <= 3-ish low dims (k == 3 here,
     matching the octree family's domain; other k route to the fused kernel)."""
 
+    # query_queue staging form: True = ragged per-batch q_max through the
+    # tuple drain (single-chip); subclasses whose drain stacks batches
+    # across a mesh set False to keep shared-QM staging.
+    _ragged_queue_drain = True
+
     def __init__(self, refs: np.ndarray, d_per_dim: int | None = None,
                  halo: float | None = None, max_candidates: int = 200_000,
                  device_place: bool = True):
@@ -645,18 +650,38 @@ class CellListEngine:
         any batch fall back to the exact scan; a too-skewed queue falls
         back to per-batch querying. With ``return_coverage``, also returns
         the per-batch certified fraction (query_with_coverage semantics) so
-        serving callers can feed workload-adaptation hysteresis."""
-        dstack, fstack, orders = self.stage_queue(batches)
-        if dstack is None:
+        serving callers can feed workload-adaptation hysteresis.
+
+        Staging is RAGGED on the single-chip engine (per-batch pow2 q_max —
+        one skewed batch cannot inflate the whole drain's tensors; see
+        stage_queue_ragged), with the winner tables concatenated on device
+        so the host still pays ONE sync fetch. The sharded engine's drain
+        stacks batches across the mesh, so it keeps shared-QM staging
+        (``_ragged_queue_drain = False``)."""
+        if self._ragged_queue_drain:
+            denses, fstack, orders = self.stage_queue_ragged(batches)
+            staged_ok = denses is not None
+        else:
+            dstack, fstack, orders = self.stage_queue(batches)
+            staged_ok = dstack is not None
+        if not staged_ok:
             pairs = [self.query_with_coverage(qb) for qb in batches]
             results = [idx for idx, _ in pairs]
             return (results, [cov for _, cov in pairs]) if return_coverage \
                 else results
-        out = np.asarray(self.query_queue_staged(dstack))
+        if self._ragged_queue_drain:
+            rows = self.query_queue_staged(tuple(denses))
+            sizes = [d.shape[0] * d.shape[1] for d in denses]
+            offs = np.concatenate([[0], np.cumsum(sizes)])
+            flat = np.asarray(jnp.concatenate([r.reshape(-1) for r in rows]))
+            winners = [flat[offs[w]:offs[w + 1]] for w in range(len(batches))]
+        else:
+            out = np.asarray(self.query_queue_staged(dstack))
+            winners = [out[w] for w in range(len(batches))]
         results = []
         covs = []
         for w, qb in enumerate(batches):
-            idx, ok = self.unscatter_queue(out[w], fstack[w], orders[w])
+            idx, ok = self.unscatter_queue(winners[w], fstack[w], orders[w])
             risk = self._sentinel_risk(np.asarray(qb, dtype=np.float32))
             if risk is not None:
                 ok &= ~risk

@@ -92,6 +92,10 @@ def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
 class ShardedCellEngine(CellListEngine):
     """Supercell engine with halo tensors sharded over a 1-D mesh axis."""
 
+    # The sharded drain stacks the queue into one (W, G, QM, 3) mesh-wide
+    # program; it needs a shared QM, so query_queue keeps stage_queue.
+    _ragged_queue_drain = False
+
     def __init__(self, refs: np.ndarray, mesh: Mesh, **kwargs):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]

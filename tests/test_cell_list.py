@@ -265,6 +265,28 @@ def test_ragged_queue_mixed_q_max_matches_single_batch():
         assert_exact(idx_q[ok_q], qb[ok_q], r)
 
 
+def test_query_queue_serving_path_with_skewed_batch():
+    # The public serving drain (query_queue) now stages ragged: a skewed
+    # batch in the queue must still produce EXACT answers for every batch
+    # and sane coverage, without falling back to per-batch querying.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(32)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+    batches = [
+        rng.random((300, 3), dtype=np.float32),
+        (rng.random((300, 3), dtype=np.float32) * 0.02).astype(np.float32),
+        rng.random((300, 3), dtype=np.float32),
+    ]
+    results, covs = eng.query_queue(batches, return_coverage=True)
+    assert len(results) == 3 and len(covs) == 3
+    for qb, idx in zip(batches, results):
+        assert_exact(idx, qb, r)
+    for cov in covs:
+        assert 0.0 <= cov <= 1.0
+
+
 def test_beam_checkpoint_roundtrip(tmp_path):
     # A clustered-promoted v14 engine must checkpoint as a beam index and
     # load back through NNEngine.load's format sniffing.
