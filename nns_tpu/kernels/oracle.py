@@ -73,15 +73,19 @@ def recall_at_1(
     its serial scans keep the lowest index, but exactness only requires *a*
     nearest neighbor).
 
-    Resolution caveat: the 1e-9 relative tolerance presumes candidate
-    distances are rankable in f32 (relative gaps >~ 1e-7 near the
-    minimum). Adversarial scale-mixed data can defeat that — e.g. a
-    probe ~500 away from a 1e-4-wide cluster sees thousands of points
-    whose f64 gaps (~4e-9 relative) sit BELOW f32 resolution, so every
-    f32 engine returns an f32-tied point this checker may count as a
-    miss. Probe exactness where distances are f32-sharp, or assert
-    "returned point achieves the f32-minimal distance" instead (see
-    test_octree_cluster_with_far_outlier_still_resolves).
+    f32-degeneracy fallback: inputs are float32 and engines compute in
+    float32, so the strongest claim any engine can make is "the returned
+    point attains the minimal distance up to f32 ARITHMETIC noise". The
+    direct form sums k terms ``(q_d - r_d)^2``, each with <= 2 roundings
+    plus the accumulation chain — a standard forward-error bound of
+    ``(k+3) * 2^-24`` relative per distance, so two candidates whose true
+    distances differ by less than ``2 * (k+3) * 2^-24`` relative are not
+    reliably rankable by ANY f32 engine. On scale-mixed data (e.g. a probe
+    ~500 away from a 1e-4-wide cluster) thousands of points sit inside
+    that band; a query missing the 1e-9 f64 test still counts as a hit iff
+    its returned distance is within the band of the true minimum. On
+    f32-sharp data (runner-up gap above the band) the fallback never fires
+    and the checker stays as strict as before.
     """
     returned_idx = np.asarray(returned_idx)
     if oracle_dmin is None:
@@ -90,6 +94,12 @@ def recall_at_1(
     r = refs.astype(np.float64)[returned_idx]
     d_ret = np.sum((q - r) ** 2, axis=1)
     hits = d_ret <= oracle_dmin * (1.0 + 1e-9) + 1e-30
+    if not hits.all():
+        # f32-degenerate top: the returned distance sits within f32
+        # arithmetic noise of the minimum -> no f32 engine could rank the
+        # two, and the returned point IS an f32-minimal answer.
+        band = 2.0 * (queries.shape[1] + 3) * 2.0 ** -24
+        hits |= d_ret <= oracle_dmin * (1.0 + band)
     return float(np.mean(hits))
 
 

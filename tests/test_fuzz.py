@@ -180,6 +180,26 @@ def test_fuzz_affine_range_ring(case_seed):
     assert_exact(idx_ring, qt, rt)
 
 
+def test_fuzz_f32_degenerate_top_all_versions():
+    """Scale-mixed adversarial data (VERDICT round 3 weak #5): a 1e-4-wide
+    cluster probed from ~500 away puts thousands of points f64-distinct but
+    f32-TIED at the top of the distance distribution (relative gaps ~4e-9,
+    below one f32 ulp). No f32 engine can rank those; recall_at_1's
+    f32-degeneracy fallback must count any f32-minimal answer as a hit, so
+    every version passes the MAIN checker here — no bespoke assertion."""
+    rng = np.random.default_rng(9000)
+    cluster = (rng.random((4096, 3)) * 1e-4).astype(np.float32)
+    outlier = np.array([[1e3, 1e3, 1e3]], dtype=np.float32)
+    r = np.concatenate([cluster, outlier])
+    # Far probes (f32-degenerate top) + in-cluster probes (f32-sharp).
+    q = np.concatenate([
+        np.array([[300.0, 300.0, 300.0], [500.0, 0.0, 0.0]], np.float32),
+        (rng.random((16, 3)) * 1e-4).astype(np.float32),
+    ])
+    for v in range(15):
+        assert_exact(nns_tpu.nns(q, r, version=v), q, r)
+
+
 def test_fuzz_cells_sentinel_corner_data():
     """Data deliberately placed AT the PAD_SENTINEL corner (coordinates near
     1e6 per dim): padded halo slots have coordinates in the middle of the
