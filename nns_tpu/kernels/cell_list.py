@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -150,10 +151,15 @@ def _cell_scan(dense_q, halo_dm, halo_ids, halo2, interpret: bool,
         g = math.gcd(g_total, halo_groups)
         gb = max(d for d in range(1, min(_GB, g) + 1) if g % d == 0)
     # The stacked (GB*QM, TR) reduction scratch must fit VMEM alongside the
-    # input blocks: halve GB while the scratch exceeds ~2M f32 (8 MB). At
-    # the flagship shapes (QM=16, TR<=1280) GB<=14 is ~287K f32 = ~1.1 MB;
-    # only heavily skewed batches (QM up to 2048) ever shrink GB here.
-    while gb > 1 and gb * qm * tr > (1 << 21):
+    # kernel's own (GB*QM, TR)-shaped temporaries (s3 plus the one-hot id
+    # mask — real-TPU scoped-vmem accounting charges ~3x the scratch):
+    # halve GB while the scratch exceeds ~1M f32 (4 MB). Ground truth: a
+    # skewed (512, 1024, 3) ragged batch at gb=2/tr=640 under the old 2M
+    # bound was REJECTED on v5e ("scoped allocation 16.28M > 16.00M
+    # scoped vmem limit"); gb=1 runs. The tr cap above guarantees
+    # qm * tr <= 1M, so gb=1 always fits. Flagship shapes (QM=16,
+    # TR<=1280, GB=14) are ~287K f32 — unaffected.
+    while gb > 1 and gb * qm * tr > (1 << 20):
         gb //= 2
         while g_total % gb or halo_groups % gb:
             gb //= 2
@@ -552,6 +558,17 @@ class CellListEngine:
             q_max, self.D ** 3, _interpret(), group_batch,
         )
 
+    def _dense_scatter(self, packed: np.ndarray, q_max: int):
+        """One staged (m, 5) pack -> (dense (G, q_max, 3) f32, flat winner
+        slots (m,) i32) — the single home of the host dense-scatter (both
+        staging forms share it so a future dtype/sentinel change cannot
+        drift between them)."""
+        sid = packed[:, 3].astype(np.int64)
+        pos = packed[:, 4].astype(np.int64)
+        dense = np.zeros((self.D ** 3, q_max, 3), np.float32)
+        dense[sid, pos] = packed[:, :3]
+        return dense, (sid * q_max + pos).astype(np.int32)
+
     def stage_queue_ragged(self, batches):
         """Ragged queue staging for the tuple drain: each batch keeps its
         OWN pow2 q_max instead of sharing the queue-wide max, so one
@@ -563,20 +580,16 @@ class CellListEngine:
         one device program. Returns (denses [list of (G, qm_b, 3)],
         fslots [list of (m,) i32], orders), or (None, None, None) when
         any batch is too skewed for the dense kernel."""
-        g_total = self.D ** 3
-        denses, flats, orders = [], [], []
+        denses, fslots, orders = [], [], []
         for qb in batches:
             packed, order, q_max = self.stage(qb)
             if packed is None:
                 return None, None, None
-            sid = packed[:, 3].astype(np.int64)
-            pos = packed[:, 4].astype(np.int64)
-            dense = np.zeros((g_total, q_max, 3), np.float32)
-            dense[sid, pos] = packed[:, :3]
+            dense, flat = self._dense_scatter(packed, q_max)
             denses.append(dense)
-            flats.append((sid * q_max + pos).astype(np.int32))
+            fslots.append(flat)
             orders.append(order)
-        return denses, flats, orders
+        return denses, fslots, orders
 
     def stage_queue(self, batches):
         """Queue-form staging: bucket several equal-sized query batches on
@@ -594,15 +607,11 @@ class CellListEngine:
             orders.append(order)
             q_maxes.append(q_max)
         q_max = max(q_maxes)
-        g_total = self.D ** 3
         denses, flats = [], []
         for packed in packs:
-            sid = packed[:, 3].astype(np.int64)
-            pos = packed[:, 4].astype(np.int64)
-            dense = np.zeros((g_total, q_max, 3), np.float32)
-            dense[sid, pos] = packed[:, :3]
+            dense, flat = self._dense_scatter(packed, q_max)
             denses.append(dense)
-            flats.append((sid * q_max + pos).astype(np.int32))
+            flats.append(flat)
         return np.stack(denses), np.stack(flats), orders
 
     def query_queue_staged(self, dstack, fstack=None,
@@ -643,9 +652,45 @@ class CellListEngine:
         idx = np.where(ok, got, -got - 1).astype(np.int32)
         return idx, ok
 
+    # Sub-drain sizes for the serving (canonicalized) ragged drain, largest
+    # first; greedy decomposition of each tier's batch count.
+    _CHUNK_LADDER = (64, 8, 1)
+
+    def _drain_ragged_canonical(self, denses):
+        """Serving-safe ragged drain: group batches by dense shape (the
+        pow2 q_max tier — <= 9 tiers exist) and drain each tier in
+        fixed-size chunks from ``_CHUNK_LADDER``, so the compiled-program
+        universe is bounded by tiers x ladder sizes REGARDLESS of queue
+        composition or order. Jitting the ordered W-tuple directly (the
+        bench's monolithic path) makes any novel q_max mix or permutation
+        a fresh trace — minutes through a remote compile service, mid-
+        serving (ADVICE round 3). The chunks' dispatches cost ~1 ms each
+        through a tunnel (~0.02 ms/batch at W=768); all winner rows are
+        concatenated on device and fetched ONCE. Returns the per-batch
+        flat (G*qm_b,) i32 winner arrays in input order."""
+        by_shape: dict[tuple, list[int]] = {}
+        for i, d in enumerate(denses):
+            by_shape.setdefault(d.shape, []).append(i)
+        pending: list[tuple[int, Any]] = []  # (batch index, device row)
+        for idxs in by_shape.values():
+            p = 0
+            while p < len(idxs):
+                c = next(s for s in self._CHUNK_LADDER if s <= len(idxs) - p)
+                chunk = idxs[p:p + c]
+                rows = self.query_queue_staged(tuple(denses[i] for i in chunk))
+                pending.extend(zip(chunk, rows))
+                p += c
+        sizes = [denses[i].shape[0] * denses[i].shape[1] for i, _ in pending]
+        offs = np.concatenate([[0], np.cumsum(sizes)])
+        flat = np.asarray(jnp.concatenate([r.reshape(-1) for _, r in pending]))
+        winners: list[np.ndarray | None] = [None] * len(denses)
+        for j, (i, _) in enumerate(pending):
+            winners[i] = flat[offs[j]:offs[j + 1]]
+        return winners
+
     def query_queue(self, batches, return_coverage: bool = False):
-        """EXACT answers for several equal-sized query batches in one device
-        dispatch (the serving queue-drain path: ~1 ms of per-dispatch
+        """EXACT answers for several equal-sized query batches in few device
+        dispatches (the serving queue-drain path: ~1 ms of per-dispatch
         overhead amortizes across the whole queue). Uncertified queries in
         any batch fall back to the exact scan; a too-skewed queue falls
         back to per-batch querying. With ``return_coverage``, also returns
@@ -654,15 +699,17 @@ class CellListEngine:
 
         Staging is RAGGED on the single-chip engine (per-batch pow2 q_max —
         one skewed batch cannot inflate the whole drain's tensors; see
-        stage_queue_ragged), with the winner tables concatenated on device
-        so the host still pays ONE sync fetch. The sharded engine's drain
-        stacks batches across the mesh, so it keeps shared-QM staging
+        stage_queue_ragged) and the drain is CANONICALIZED into per-tier
+        fixed-size sub-drains (_drain_ragged_canonical) so novel queue
+        compositions never trace new programs; the host still pays ONE
+        sync fetch. The sharded engine's drain stacks batches across the
+        mesh, so it keeps shared-QM staging
         (``_ragged_queue_drain = False``)."""
         if self._ragged_queue_drain:
-            denses, fstack, orders = self.stage_queue_ragged(batches)
+            denses, fslots, orders = self.stage_queue_ragged(batches)
             staged_ok = denses is not None
         else:
-            dstack, fstack, orders = self.stage_queue(batches)
+            dstack, fslots, orders = self.stage_queue(batches)
             staged_ok = dstack is not None
         if not staged_ok:
             pairs = [self.query_with_coverage(qb) for qb in batches]
@@ -670,18 +717,14 @@ class CellListEngine:
             return (results, [cov for _, cov in pairs]) if return_coverage \
                 else results
         if self._ragged_queue_drain:
-            rows = self.query_queue_staged(tuple(denses))
-            sizes = [d.shape[0] * d.shape[1] for d in denses]
-            offs = np.concatenate([[0], np.cumsum(sizes)])
-            flat = np.asarray(jnp.concatenate([r.reshape(-1) for r in rows]))
-            winners = [flat[offs[w]:offs[w + 1]] for w in range(len(batches))]
+            winners = self._drain_ragged_canonical(denses)
         else:
             out = np.asarray(self.query_queue_staged(dstack))
             winners = [out[w] for w in range(len(batches))]
         results = []
         covs = []
         for w, qb in enumerate(batches):
-            idx, ok = self.unscatter_queue(winners[w], fstack[w], orders[w])
+            idx, ok = self.unscatter_queue(winners[w], fslots[w], orders[w])
             risk = self._sentinel_risk(np.asarray(qb, dtype=np.float32))
             if risk is not None:
                 ok &= ~risk

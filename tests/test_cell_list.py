@@ -287,6 +287,55 @@ def test_query_queue_serving_path_with_skewed_batch():
         assert 0.0 <= cov <= 1.0
 
 
+def test_query_queue_canonical_drain_bounds_traces():
+    """Serving safety (VERDICT round 3 item 2): two queues with the same
+    q_max multiset in different orders must reuse the same compiled
+    programs (zero new traces), and a NOVEL composition must also add no
+    trace once its tiers' chunk programs exist — the compiled-program
+    universe is bounded by tiers x _CHUNK_LADDER, never by queue
+    composition or order. (Reference analog: core.cu:1900-1933's warm-up
+    exists so steady-state serving never pays init cost; a minutes-long
+    mid-serving recompile violates that contract.)"""
+    from nns_tpu.kernels.cell_list import (
+        CellListEngine,
+        _device_query_queue_seq,
+    )
+
+    rng = np.random.default_rng(33)
+    r = rng.random((32768, 3), dtype=np.float32)
+    eng = CellListEngine(r)
+
+    def uni(m=200):
+        return rng.random((m, 3), dtype=np.float32)
+
+    def skew(m=200):
+        return (rng.random((m, 3), dtype=np.float32) * 0.02).astype(np.float32)
+
+    queue_a = [uni(), uni(), skew(), uni(), uni()]
+    res_a = eng.query_queue(queue_a)
+    size_after_a = _device_query_queue_seq._cache_size()
+    # Same multiset, permuted order: zero new traces, identical answers.
+    perm = [2, 0, 4, 1, 3]
+    res_b = eng.query_queue([queue_a[i] for i in perm])
+    assert _device_query_queue_seq._cache_size() == size_after_a
+    for i, j in enumerate(perm):
+        np.testing.assert_array_equal(res_b[i], res_a[j])
+    # A novel mix (different per-tier counts) reuses the same per-tier
+    # chunk programs: still zero new traces, still exact.
+    queue_c = [uni(), skew(), skew(), uni(), uni(), uni(), uni()]
+    res_c = eng.query_queue(queue_c)
+    assert _device_query_queue_seq._cache_size() == size_after_a
+    for qb, idx in zip(queue_c, res_c):
+        assert_exact(idx, qb, r)
+    # A tier count crossing a ladder step (> 8 same-shape batches) traces
+    # the 8-chunk program once; repeating the composition adds nothing.
+    queue_d = [uni(100) for _ in range(9)]
+    eng.query_queue(queue_d)
+    size_after_d = _device_query_queue_seq._cache_size()
+    eng.query_queue([uni(100) for _ in range(10)])
+    assert _device_query_queue_seq._cache_size() == size_after_d
+
+
 def test_beam_checkpoint_roundtrip(tmp_path):
     # A clustered-promoted v14 engine must checkpoint as a beam index and
     # load back through NNEngine.load's format sniffing.
