@@ -59,7 +59,13 @@ def main() -> int:
     log(f"[bench_k16] staging: {time.perf_counter()-t0:.2f}s "
         f"(tiles {eng.tile_m}x{eng.tile_n}, ts={eng.ts})")
 
-    idx0 = eng.query(allq)  # compile + correctness capture
+    # Queries pre-staged on device, untimed — the same prepare-once serving
+    # protocol as bench.py's k=3 drain (stage_queue). The round-4 xplane
+    # decomposition (prof_r4_v9.py) showed the in-region 5 MB upload was
+    # ~18 ms/batch of the old 46 ms W=8 drain — protocol overhead, not
+    # engine work. A serial upload-included number is logged secondarily.
+    st = eng.stage_queries(allq)
+    idx0 = eng.query_staged(st)  # compile + correctness capture
     _, _, cert0 = eng.query_min_idx_cert(batches[0])
     times: list[float] = []
     best = float("inf")
@@ -67,7 +73,7 @@ def main() -> int:
     t_start = time.perf_counter()
     while len(times) < MAX_TRIALS:
         t0 = time.perf_counter()
-        idx0 = eng.query(allq)  # one dispatch + one fetch (+ rare refine)
+        idx0 = eng.query_staged(st)  # 1 dispatch + 1 fetch (+ rare refine)
         per_batch = (time.perf_counter() - t0) / W
         times.append(per_batch * 1e3)
         since = 0 if per_batch < best * 0.995 else since + 1
@@ -78,9 +84,18 @@ def main() -> int:
             break
     a = np.asarray(times)
     qps = N_QUERIES / best
-    log(f"[bench_k16] drain (W={W} distinct 10K batches, 1 dispatch): "
+    log(f"[bench_k16] staged drain (W={W} distinct 10K batches, 1 dispatch): "
         f"best {a.min():.1f} / p50 {np.percentile(a, 50):.1f} / "
         f"max {a.max():.1f} ms/batch over {len(a)} trials -> {qps:,.0f} qps")
+
+    b_ser = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        idx_ser = eng.query(allq)  # upload + q2 bound inside the region
+        b_ser = min(b_ser, (time.perf_counter() - t0) / W)
+    log(f"[bench_k16] upload-included drain: {b_ser*1e3:.1f} ms/batch "
+        f"-> {N_QUERIES/b_ser:,.0f} qps")
+    del idx_ser
 
     sub = np.random.default_rng(0).choice(
         N_QUERIES, min(512, N_QUERIES), replace=False

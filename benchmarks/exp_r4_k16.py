@@ -60,21 +60,26 @@ def _phase1s(qc, rc, r2h, tm, tn, ts):
     grid = (pl.cdiv(m_pad, tm), pl.cdiv(rc.shape[1], tn))
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_phase1_kernel, ts=ts, ns=tn // ts),
+        functools.partial(_phase1_kernel, ts=ts, ns=tn // ts,
+                          ks=(rc.shape[0] // 3)),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rc.shape[0], tn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tn), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(o_spec, o_spec, o_spec),
+        out_specs=(o_spec,) * 6,
         out_shape=(
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
         ),
         interpret=False,
-    )(qc, rc, r2h)
+    )(qc, rc, r2h)[:3]
 
 
 def _phase1(qc, rc, r2h, tm, tn):

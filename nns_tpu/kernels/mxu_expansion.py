@@ -102,22 +102,36 @@ def _cat_q(qh, qm, ql) -> jnp.ndarray:
     return jnp.concatenate([qh, qh, qm, qh, ql, qm], axis=1)
 
 
-def _cat_r(rh, rm, rl) -> jnp.ndarray:
-    """Reference-side contraction layout: [rh; rm; rh; rl; rh; rm] — the
-    row-block partner of _cat_q, so one (m, 6k) @ (6k, n) matmul sums all
-    six split products."""
-    return jnp.concatenate([rh, rm, rh, rl, rh, rm], axis=0)
+def _stack_r(rh, rm, rl) -> jnp.ndarray:
+    """Reference-side HBM layout: the three splits stored ONCE as
+    [rh; rm; rl] (3k rows). The kernel re-materializes the 6-term
+    contraction partner of _cat_q ([rh; rm; rh; rl; rh; rm]) in VMEM per
+    tile — a VPU copy — instead of streaming the duplicated 6k-row form
+    from HBM: rc HBM traffic per query-tile sweep halves (192 -> 96 MB at
+    1M x k16), worth ~1 ms/batch of the phase-1 time (xplane r4)."""
+    return jnp.concatenate([rh, rm, rl], axis=0)
 
 
 def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
-                   *, ts: int, ns: int):
+                   t2v_ref, tid2_ref, t3v_ref, *, ts: int, ns: int, ks: int):
     """Min-only scan: per reference tile, one MXU pass + one VPU min-reduce.
-    Carries (min1, winning SUBTILE id, cross-subtile runner-up m2x).
+    Carries (min1, winning SUBTILE id, cross-subtile runner-up m2x) plus
+    the TILE-granular top-3 (t2v, tid2, t3v) that feeds the band-limited
+    refine of uncertified rows: the second-best tile's id (so its points
+    can be rescanned alongside the winner's tile) and the third-best tile
+    MIN (bounding everything outside those two). All six carries are
+    (tm, 1) vectors — ~10 extra VPU lane-ops per grid step; the earlier
+    r4 design exported a full (m_pad, n_tiles) per-tile-min matrix instead,
+    which cost a 335 MB HBM write + a 1.7 ms/batch transpose relayout and
+    crashed the remote compile service past ~120 MB.
 
     The tile spans ns subtiles of width ts; ids are carried at subtile
     granularity so the phase-1 tile can grow (fewer grid steps) while the
     phase-2 gather stays ts columns wide. ns == 1 degenerates to plain
-    per-tile ids at zero extra cost (sarg == 0, in-tile runner-up == inf)."""
+    per-tile ids at zero extra cost (sarg == 0, in-tile runner-up == inf).
+
+    rc_ref holds the deduplicated [rh; rm; rl] split stack (3*ks rows);
+    the 6-term layout is built in VMEM (see _stack_r)."""
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -125,10 +139,17 @@ def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
         min1_ref[:] = jnp.full(min1_ref.shape, jnp.inf, dtype=jnp.float32)
         tid_ref[:] = jnp.zeros(tid_ref.shape, dtype=jnp.int32)
         m2x_ref[:] = jnp.full(m2x_ref.shape, jnp.inf, dtype=jnp.float32)
+        t2v_ref[:] = jnp.full(t2v_ref.shape, jnp.inf, dtype=jnp.float32)
+        tid2_ref[:] = jnp.zeros(tid2_ref.shape, dtype=jnp.int32)
+        t3v_ref[:] = jnp.full(t3v_ref.shape, jnp.inf, dtype=jnp.float32)
 
+    rh = rc_ref[0:ks]
+    rm = rc_ref[ks:2 * ks]
+    rl = rc_ref[2 * ks:3 * ks]
+    rcat = jnp.concatenate([rh, rm, rh, rl, rh, rm], axis=0)
     # One wide-contraction bf16 MXU pass = all six split products.
     cross = jax.lax.dot_general(
-        qc_ref[:], rc_ref[:],
+        qc_ref[:], rcat,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
@@ -158,6 +179,20 @@ def _phase1_kernel(qc_ref, rc_ref, r2h_ref, min1_ref, tid_ref, m2x_ref,
     # earlier (lower-id) subtile on an exact cross-tile tie, which then
     # lands in m2x and fails the certificate — as a duplicate must.
     c1, ct, c2 = min1_ref[:], tid_ref[:], m2x_ref[:]
+
+    # TILE-granular sorted-top-3 merge for the band refine, using the
+    # PRE-duel carry (c1 is the best tile min so far, ct // ns its tile).
+    # A tile tying the leader lands in (t2v, tid2) — so a two-tile exact
+    # duplicate is still gathered and resolved by lowest index in tier 1;
+    # a third tying tile lands in t3v, failing the outside bound as it
+    # must.
+    t2, i2, t3 = t2v_ref[:], tid2_ref[:], t3v_ref[:]
+    b1 = tmin < c1
+    b2 = jnp.logical_and(jnp.logical_not(b1), tmin < t2)
+    t2v_ref[:] = jnp.where(b1, c1, jnp.where(b2, tmin, t2))
+    tid2_ref[:] = jnp.where(b1, ct // ns, jnp.where(b2, j, i2))
+    t3v_ref[:] = jnp.where(jnp.logical_or(b1, b2), t2, jnp.minimum(t3, tmin))
+
     better = tmin < c1
     min1_ref[:] = jnp.where(better, tmin, c1)
     tid_ref[:] = jnp.where(better, stid, ct)
@@ -219,22 +254,27 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
     kc = qc.shape[1]
 
     o_spec = pl.BlockSpec((tm, 1), lambda i, j: (i, 0), memory_space=pltpu.VMEM)
-    min1, tid, m2x = pl.pallas_call(
-        functools.partial(_phase1_kernel, ts=ts, ns=tile_n // ts),
+    min1, tid, m2x, t2v, tid2, t3v = pl.pallas_call(
+        functools.partial(_phase1_kernel, ts=ts, ns=tile_n // ts, ks=kp),
         grid=grid,
         in_specs=[
             pl.BlockSpec((tm, kc), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((kc, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * kp, tile_n), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tile_n), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=(o_spec, o_spec, o_spec),
+        out_specs=(o_spec,) * 6,
         out_shape=(
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.int32),
             jax.ShapeDtypeStruct((m_pad, 1), jnp.float32),
         ),
         interpret=interpret,
     )(qc, rc, r2h)
+    del t2v  # carried for the sorted-3 merge; only tid2/t3v feed the refine
 
     # Phase 2, chunked so the (mc, ts, kp) gather temp stays bounded
     # (~2M gathered points per step) even for concatenated query_many
@@ -261,8 +301,101 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
     idx_flat = idx2.reshape(-1)[:m]
     idx_hi = (idx_flat // 4096).astype(jnp.float32)
     idx_lo = (idx_flat % 4096).astype(jnp.float32)
-    return jnp.stack(
+    packed = jnp.stack(
         [min12.reshape(-1)[:m], idx_hi, idx_lo, cert2.reshape(-1)[:m]]
+    )
+    # The band-refine feed stays ON DEVICE (the caller fetches packed
+    # only): per-row second-best tile id + third-best tile min, (m_pad, 2)
+    # f32 (tile ids < 2^19 are f32-exact).
+    band = jnp.concatenate(
+        [tid2.astype(jnp.float32), t3v], axis=1
+    )
+    return packed, band
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "n_total"))
+def _band_refine(qpack, bad_idx, band, refs_t, r2h_t, delta,
+                 tile_n, n_total):
+    """Band-limited refine of uncertified rows: a direct-f32 rescan of each
+    row's TOP-2 tiles (winner's tile + phase-1's second-best tile),
+    certified by the third-best tile min.
+
+    Replaces (for ~all uncertified rows) the full 1M-point FusedBruteForce
+    rescan — the xplane r4 decomposition priced that at ~102 ms device per
+    8K-row bucket vs ~6 ms here (the 2-tile gather is ~0.5 MB/row).
+
+    Soundness: any point OUTSIDE the two gathered tiles lies in a tile
+    whose phase-1 min is >= t3 (the third-smallest), so its true expansion
+    value is >= t3 - delta. The gathered winner's true value is
+    <= e_w + delta (e_w = d2/2 - |q|^2/2 in f32 direct arithmetic; delta
+    bounds the 96-term phase-1 accumulation, strictly wider than this
+    16-term direct form). ``t3 > e_w + 2*delta`` therefore proves no
+    outside point can beat OR TIE the winner; within the gathered set the
+    scan is the contract's own direct-f32 arithmetic with an explicit
+    lowest-index tie-break, so certified rows match FusedBruteForce
+    exactly (v0-v9 family tie-break contract). Exact ties straddling the
+    band (three tied tiles) fail the certificate — as they must — and
+    fall through to the full scan. With n_tiles <= 2 everything is
+    gathered and t3 stays +inf, so the bound passes vacuously — correct.
+
+    qpack (B, kp+2) f32 = [q zero-padded | |q|^2 | winner tile id] — one
+    array so the tunneled host->device path pays ONE in-stream upload
+    (~10 ms each); bad_idx (B,) i32 rows into band; band (m_pad, 2) f32 =
+    [second-best tile id, third-best tile min] straight from phase-1's
+    carried sorted-3 (stays on device); refs_t (n_sub, ts, kp) /
+    r2h_t (n_sub, ts) — the engine's phase-2 staging, re-viewed at tile
+    granularity (free reshape). Returns ONE packed (2, B) i32 array
+    [idx, ok] so the caller pays a single ~35 ms tunnel fetch (two
+    separate fetches measured as the refine's largest term).
+    """
+    n_tiles = refs_t.shape[0] * refs_t.shape[1] // tile_n
+    refs_tiles = refs_t.reshape(n_tiles, tile_n, -1)
+    r2h_tiles = r2h_t.reshape(n_tiles, tile_n)
+    q_bad = qpack[:, :-2]
+    q2_bad = qpack[:, -2]
+    tile1 = qpack[:, -1].astype(jnp.int32)
+    bsel = jnp.take(band, bad_idx, axis=0)            # (B, 2)
+    t12 = jnp.stack([tile1, bsel[:, 0].astype(jnp.int32)], axis=1)
+    t3 = bsel[:, 1]
+    b = q_bad.shape[0]
+    # Chunk the (mc, 2, tile_n, kp) gather to bound the temporary.
+    mc = min(b, max(_SUBLANE, ((1 << 21) // tile_n) // _SUBLANE * _SUBLANE))
+    nchunks = b // mc if b % mc == 0 else b // mc + 1
+    bp = nchunks * mc
+    if bp != b:
+        q_bad = jnp.pad(q_bad, ((0, bp - b), (0, 0)))
+        q2_bad = jnp.pad(q2_bad, (0, bp - b))
+        t12 = jnp.pad(t12, ((0, bp - b), (0, 0)))
+        t3 = jnp.pad(t3, (0, bp - b))
+
+    def step(args):
+        qk, q2k, tk, t3k = args
+        rsel = jnp.take(refs_tiles, tk, axis=0)       # (mc, 2, tile_n, kp)
+        r2sel = jnp.take(r2h_tiles, tk, axis=0)       # (mc, 2, tile_n)
+        d2 = jnp.sum((rsel - qk[:, None, None, :]) ** 2, axis=3)
+        d2 = jnp.where(jnp.isinf(r2sel), jnp.inf, d2)  # padding never wins
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 2)
+        ids = tk[:, :, None] * tile_n + cols          # global ids
+        d2f = d2.reshape(d2.shape[0], -1)
+        idf = ids.reshape(d2.shape[0], -1)
+        wmin = jnp.min(d2f, axis=1)
+        # lowest global index among the direct-f32 minima
+        warg = jnp.min(jnp.where(d2f == wmin[:, None], idf, n_total), axis=1)
+        e_w = 0.5 * wmin - 0.5 * q2k
+        ok = t3k > e_w + 2.0 * delta
+        return warg.astype(jnp.int32), ok
+
+    idx, ok = jax.lax.map(
+        step,
+        (
+            q_bad.reshape(nchunks, mc, -1),
+            q2_bad.reshape(nchunks, mc),
+            t12.reshape(nchunks, mc, 2),
+            t3.reshape(nchunks, mc),
+        ),
+    )
+    return jnp.stack(
+        [idx.reshape(-1)[:b], ok.reshape(-1)[:b].astype(jnp.int32)]
     )
 
 
@@ -270,18 +403,23 @@ class MXUExpansion:
     """Prepare-once / query-many engine for the triple-bf16 MXU path.
 
     Default tiles are (1024, 4096): reference streaming costs ceil(m/tile_m)
-    HBM passes over the 192 MB rc tensor (at 1M refs), so tall query tiles
-    win; with the two-phase kernel carrying only three (tm, 1) vectors
-    across the grid, wide ref tiles cut grid steps 8x with no epilogue
-    VMEM growth (ids stay at ts=512 subtile granularity, so the phase-2
-    gather does not widen). Real-chip A/B of the production single-jit
-    path at k=16, m=10K, n=1M (benchmarks/drive_r3_v9_tiles.py, one
-    process, fetch floor ~35 ms included): (1024, 512) 72.5 ms,
+    HBM passes over the (deduplicated, r4) 96 MB rc split stack at 1M refs,
+    so tall query tiles win; with the two-phase kernel carrying only six
+    (tm, 1) vectors across the grid, wide ref tiles cut grid steps 8x with
+    no epilogue VMEM growth (ids stay at ts=256 subtile granularity, so
+    the phase-2 gather does not widen). Real-chip A/B of the production
+    single-jit path at k=16, m=10K, n=1M (benchmarks/drive_r3_v9_tiles.py,
+    one process, fetch floor ~35 ms included): (1024, 512) 72.5 ms,
     (2048, 1024) 70.2, (1024, 2048) 67.8, (1024, 4096) 64.2 — all at
-    recall 1.0, cert_frac 0.9835."""
+    recall 1.0, cert_frac 0.9835. The r4 xplane decomposition puts the
+    phase-1 kernel at 15.8-16.0 ms per 10K-query batch, ~88% of the
+    charged-flop MXU roofline (the 96-wide bf16 contraction is billed
+    ceil(96/128) systolic passes: 2*m*128*n / 197 TFLOPS = 13.9 ms) with
+    the rc stream fully hidden under compute — the phase-1 floor is the
+    MXU, not HBM."""
 
     def __init__(self, refs, tile_m: int | None = None,
-                 tile_n: int | None = None):
+                 tile_n: int | None = None, tile_s: int | None = None):
         tile_m = 1024 if tile_m is None else tile_m
         tile_n = 4096 if tile_n is None else tile_n
         refs = np.asarray(refs, dtype=np.float32)
@@ -303,14 +441,19 @@ class MXUExpansion:
         self.tile_n = min(tile_n, n_pad)
         # Phase-2 gather granularity: ids are carried per ts-wide subtile,
         # so big phase-1 tiles don't inflate the phase-2 gather. For a
-        # tile_n that 512 doesn't divide (e.g. 768), fall back to per-tile
-        # ids (ts = tile_n) — correct, just a wider gather.
-        self.ts = 512 if self.tile_n % 512 == 0 else self.tile_n
+        # tile_n that ts doesn't divide (e.g. 768), fall back to per-tile
+        # ids (ts = tile_n) — correct, just a wider gather. Default 256
+        # from the r4 real-chip A/B (W=32 drain, same process): ts=256
+        # 26.4 ms/batch vs ts=512 28.1 (halved phase-2 gather traffic);
+        # ts=128 is REJECTED by the v5e compiler (ns=32 epilogue: scoped
+        # vmem 22.3M > 16M).
+        ts = 256 if tile_s is None else tile_s
+        self.ts = ts if self.tile_n % ts == 0 else self.tile_n
         r = np.zeros((n_pad, self.kp), dtype=np.float32)
         r[: self.n, : self.k] = refs
         rh, rm, rl = _split_bf16x3(jnp.asarray(r))
-        rc = _cat_r(jnp.transpose(rh), jnp.transpose(rm), jnp.transpose(rl))
-        self.rc = jax.device_put(rc)  # (6*kp, n_pad) bf16
+        rc = _stack_r(jnp.transpose(rh), jnp.transpose(rm), jnp.transpose(rl))
+        self.rc = jax.device_put(rc)  # (3*kp, n_pad) bf16, deduplicated
         # Distance-domain padding: +inf half-norms for padded columns — they
         # can never win for any query, with no coordinate-range assumption.
         r2h = np.full((1, n_pad), np.inf, dtype=np.float32)
@@ -328,24 +471,67 @@ class MXUExpansion:
             jnp.asarray(np.ascontiguousarray(r2h.reshape(n_sub, self.ts)))
         )
         self._r2_max = 2.0 * float(np.max(r2h[0, : self.n])) if self.n else 0.0
+        # Per-dispatch query-row cap (see _packed_staged): a 320K-row
+        # program compiles and runs on the real v5e; deeper monoliths are
+        # chunked as compile-service robustness.
+        self._m_cap = 1 << 19
         self._fallback: FusedBruteForce | None = None
 
-    def _query_packed(self, queries) -> np.ndarray:
+    def stage_queries(self, queries) -> "StagedQueries":
+        """Pre-stage a query set on device for the serving drain: the 5 MB+
+        host->device upload and the host-side scale bound both move OUT of
+        the timed region (xplane decomposition r4: the upload alone was
+        ~18 ms/batch of the 46 ms W=8 drain — the single largest term).
+        Mirrors CellListEngine.stage_queue's prepare-once protocol."""
         q_np = np.asarray(queries, dtype=np.float32)
         m, k = q_np.shape
         if k != self.k:
             raise ValueError(f"dimension mismatch: queries k={k}, refs k={self.k}")
-        if m == 0:
-            return np.zeros((4, 0), dtype=np.float32)
         # Host-side scale bound (avoids a device round-trip pre-kernel).
-        q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max())
+        q2_max = float((q_np.astype(np.float64) ** 2).sum(axis=1).max()) \
+            if m else 0.0
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
-        packed = _expansion_query(
-            jax.device_put(q_np), self.rc, self.r2h, self.refs_t, self.r2h_t,
-            jnp.float32(delta), self.kp, self.tile_m, self.tile_n, self.ts,
-            _interpret(),
-        )
-        return np.asarray(packed)  # single host fetch
+        return StagedQueries(q_np, jax.device_put(q_np), float(delta))
+
+    def _packed_staged(self, st: "StagedQueries"):
+        """-> (packed (4, m) numpy, band (m_pad', 2) device handle or
+        None). Only packed is fetched; band stays on device for the
+        band-limited refine.
+
+        Very deep drains are chunked into separate dispatches (~1 ms each
+        through the tunnel) whose outputs are device-concatenated, so the
+        host still pays ONE packed fetch — a compile-service robustness
+        bound (a 320K-row program compiles; far bigger monoliths are
+        untested against the remote helper's limits)."""
+        m = st.q_np.shape[0]
+        if m == 0:
+            return np.zeros((4, 0), dtype=np.float32), None
+        cap = self._m_cap
+        if m <= cap:
+            packed, band = _expansion_query(
+                st.q_dev, self.rc, self.r2h, self.refs_t, self.r2h_t,
+                jnp.float32(st.delta), self.kp, self.tile_m, self.tile_n,
+                self.ts, _interpret(),
+            )
+            return np.asarray(packed), band  # single host fetch
+        packeds, bands = [], []
+        for s in range(0, m, cap):
+            p, t = _expansion_query(
+                st.q_dev[s : s + cap], self.rc, self.r2h, self.refs_t,
+                self.r2h_t, jnp.float32(st.delta), self.kp, self.tile_m,
+                self.tile_n, self.ts, _interpret(),
+            )
+            packeds.append(p)
+            bands.append(t)
+        packed = jnp.concatenate(packeds, axis=1)
+        # Full chunks contribute exactly cap rows (cap is sublane-aligned,
+        # so m_pad == cap); only the LAST chunk may carry row padding, so
+        # global row i < m indexes the concatenation correctly.
+        band = jnp.concatenate(bands, axis=0)
+        return np.asarray(packed), band
+
+    def _query_packed(self, queries) -> np.ndarray:
+        return self._packed_staged(self.stage_queries(queries))[0]
 
     @staticmethod
     def _unpack_idx(packed: np.ndarray) -> np.ndarray:
@@ -367,8 +553,13 @@ class MXUExpansion:
         tile configuration on real hardware that the CPU interpreter
         accepted — the whole batch is answered by the exact fused scan
         instead of erroring out of the version."""
+        return self.query_staged(self.stage_queries(queries))
+
+    def query_staged(self, st: "StagedQueries"):
+        """query() on a pre-staged query set (see stage_queries) — the
+        serving drain path: per-request device work only, upload untimed."""
         try:
-            packed = self._query_packed(queries)
+            packed, band = self._packed_staged(st)
         except ValueError:
             raise  # caller errors (shape mismatch) are not degradation
         except Exception as ex:  # pragma: no cover - backend-specific
@@ -379,21 +570,63 @@ class MXUExpansion:
                   f"scan", file=sys.stderr, flush=True)
             if self._fallback is None:
                 self._fallback = FusedBruteForce(self.refs)
-            q_np = np.asarray(queries, dtype=np.float32)
-            return np.asarray(self._fallback.query(q_np)).astype(np.int32)
+            return np.asarray(self._fallback.query(st.q_np)).astype(np.int32)
         idx = self._unpack_idx(packed)
         cert = packed[3] > 0.5
         if cert.all():
             return idx
         bad = np.flatnonzero(~cert)
+        # Tier 1: band-limited direct-f32 rescan of each bad row's top-2
+        # tiles (see _band_refine).
+        if band is not None:
+            bucket = layouts.pow2_at_least(max(len(bad), 8))
+            qpack = np.zeros((bucket, self.kp + 2), np.float32)
+            q_np = st.q_np[bad]
+            qpack[: len(bad), : q_np.shape[1]] = q_np
+            qpack[: len(bad), -2] = (
+                q_np.astype(np.float32) ** 2
+            ).sum(axis=1)
+            # Winner tile id: phase-2 rescans within phase-1's winning
+            # subtile, so the returned global id's tile IS that tile.
+            qpack[: len(bad), -1] = (idx[bad] // self.tile_n).astype(
+                np.float32
+            )
+            bad_idx = np.zeros(bucket, np.int32)
+            bad_idx[: len(bad)] = bad
+            rpacked = np.asarray(_band_refine(
+                jnp.asarray(qpack), jnp.asarray(bad_idx),
+                band, self.refs_t, self.r2h_t, jnp.float32(st.delta),
+                self.tile_n, self.refs_t.shape[0] * self.refs_t.shape[1],
+            ))  # one fetch: (2, B) i32 [idx, ok]
+            ridx = rpacked[0, : len(bad)]
+            rok = rpacked[1, : len(bad)].astype(bool)
+            idx[bad[rok]] = ridx[rok]
+            bad = bad[~rok]
+            if len(bad) == 0:
+                return idx
+        # Tier 2: full exact scan for rows the band could not certify
+        # (exact or straddling ties — rare).
         if self._fallback is None:
             self._fallback = FusedBruteForce(self.refs)
-        q_np = np.asarray(queries, dtype=np.float32)[bad]
+        q_np = st.q_np[bad]
         bucket = layouts.pow2_at_least(max(len(bad), 8))
         if bucket != len(bad):  # shape-bucketed to bound recompiles
             q_np = np.pad(q_np, ((0, bucket - len(bad)), (0, 0)))
         idx[bad] = np.asarray(self._fallback.query(q_np))[: len(bad)]
         return idx
+
+
+class StagedQueries:
+    """A query set staged for MXUExpansion.query_staged: the host copy (for
+    the exact-refine fallback), the device copy, and the pre-computed
+    certificate band."""
+
+    __slots__ = ("q_np", "q_dev", "delta")
+
+    def __init__(self, q_np: np.ndarray, q_dev, delta: float):
+        self.q_np = q_np
+        self.q_dev = q_dev
+        self.delta = delta
 
 
 def nns_mxu_expansion(queries, refs, tile_m: int | None = None,

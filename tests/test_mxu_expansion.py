@@ -84,7 +84,7 @@ def test_subtile_ids_ns_gt_1_exact():
     refs = rng.random((3000, 16), dtype=np.float32)
     queries = rng.random((65, 16), dtype=np.float32)
     eng = MXUExpansion(refs, tile_m=32, tile_n=1024)
-    assert eng.ts == 512 and eng.tile_n // eng.ts == 2
+    assert eng.ts == 256 and eng.tile_n // eng.ts == 4
     _, idx, cert = eng.query_min_idx_cert(queries)
     oracle = _oracle(queries, refs)
     assert cert.mean() > 0.9
@@ -144,12 +144,12 @@ def test_empty_query_batch():
     assert min1.shape == idx2.shape == cert.shape == (0,)
 
 
-def test_tile_n_not_multiple_of_512_falls_back_to_per_tile_ids():
+def test_tile_n_not_multiple_of_ts_falls_back_to_per_tile_ids():
     rng = np.random.default_rng(10)
     refs = rng.random((2000, 16), dtype=np.float32)
     queries = rng.random((40, 16), dtype=np.float32)
-    eng = MXUExpansion(refs, tile_m=16, tile_n=768)
-    assert eng.ts == 768  # per-tile ids, wider phase-2 gather
+    eng = MXUExpansion(refs, tile_m=16, tile_n=640)  # 640 % 256 != 0
+    assert eng.ts == 640  # per-tile ids, wider phase-2 gather
     assert recall_at_1(eng.query(queries), queries, refs) == 1.0
 
 
@@ -174,3 +174,65 @@ def test_large_query_count_chunks():
     queries = rng.random((4100, 16), dtype=np.float32)
     eng = MXUExpansion(refs, tile_m=256, tile_n=512)
     assert recall_at_1(eng.query(queries), queries, refs) == 1.0
+
+
+def test_band_refine_certifies_near_ties_without_full_scan():
+    """Uncertified rows whose near-tie sits INSIDE the top-2 tiles must be
+    answered exactly by the tier-1 band refine (top-2 tile direct-f32
+    rescan, third-tile bound) with NO FusedBruteForce staging, matching
+    the lowest-index tie-break."""
+    rng = np.random.default_rng(21)
+    k = 16
+    refs = (rng.random((2000, k)) + 2.0).astype(np.float32)
+    # Query equidistant-ish to refs[50] (tile 0) and refs[900] (tile 1 at
+    # tile_n=512): a sub-band gap forces the main certificate to fail,
+    # while tile 2+ stays far -> tier 1 certifies.
+    q = refs[50].astype(np.float64)
+    refs[900] = (q + 3e-6).astype(np.float32)  # near-duplicate, higher idx
+    q = (q + 1.5e-6).astype(np.float32).reshape(1, -1)
+    eng = MXUExpansion(refs, tile_m=8, tile_n=512)
+    _, idx, cert = eng.query_min_idx_cert(q)
+    assert not cert[0], "sub-band gap must fail the main certificate"
+    out = eng.query_staged(eng.stage_queries(q))
+    # Exact: one of the two near-tied points, and FusedBruteForce was
+    # never staged (tier 1 resolved it).
+    d50 = ((q[0].astype(np.float64) - refs[50]) ** 2).sum()
+    d900 = ((q[0].astype(np.float64) - refs[900]) ** 2).sum()
+    want = 50 if d50 <= d900 else 900
+    assert int(out[0]) == want
+    assert eng._fallback is None
+
+
+def test_band_refine_two_tile_duplicate_resolved_by_tier1():
+    """An exact duplicate in a DIFFERENT tile is still resolved by tier 1:
+    the tied tile is one of the top-2 by tmin, so both copies are gathered,
+    the lowest index wins, and the third-tile bound certifies."""
+    rng = np.random.default_rng(22)
+    k = 16
+    refs = (rng.random((2000, k)) + 2.0).astype(np.float32)
+    refs[1600] = refs[30]  # tile 3 duplicate of a tile-0 point
+    q = refs[30:31].copy()
+    eng = MXUExpansion(refs, tile_m=8, tile_n=512)
+    _, _, cert = eng.query_min_idx_cert(q)
+    assert not cert[0]
+    out = eng.query_staged(eng.stage_queries(q))
+    assert int(out[0]) == 30  # lowest index of the exact tie
+    assert eng._fallback is None, "two-tile tie resolves in tier 1"
+
+
+def test_band_refine_three_tile_tie_falls_back_to_full_scan():
+    """Exact copies in THREE tiles: the top-2 gather must miss one, the
+    third-tile bound equals the winner value, tier 1 refuses, and tier 2
+    (full scan) answers with the lowest reference index."""
+    rng = np.random.default_rng(23)
+    k = 16
+    refs = (rng.random((2000, k)) + 2.0).astype(np.float32)
+    refs[1100] = refs[30]  # tile 2
+    refs[1600] = refs[30]  # tile 3
+    q = refs[30:31].copy()
+    eng = MXUExpansion(refs, tile_m=8, tile_n=512)
+    _, _, cert = eng.query_min_idx_cert(q)
+    assert not cert[0]
+    out = eng.query_staged(eng.stage_queries(q))
+    assert int(out[0]) == 30
+    assert eng._fallback is not None, "three-tile tie must reach tier 2"
