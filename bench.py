@@ -171,11 +171,52 @@ def main() -> int:
     row_sizes = [d.shape[0] * d.shape[1] for d in denses]
     offs = np.concatenate([[0], np.cumsum(row_sizes)])
 
-    # Warm-up: compile + settle; also the correctness batch.
-    idx0, ok0 = engine.query_with_flags(queries)
-    _ = np.asarray(engine.query_queue_staged(dq)[-1])
+    # Warm-up: compile + settle, and ONE full result download (untimed) to
+    # identify the queue's uncertified slots. The r4 all-batch gate showed
+    # the seeded 768-batch queue is NOT fully certificate-covered (a
+    # handful of far-tail queries per ~million exceed the halo), so the
+    # timed program must include the exact re-answering the serving path
+    # (query_queue) performs — otherwise the headline times a drain whose
+    # answers are not final.
+    import jax.numpy as jnp
 
-    # Headline: one dispatch drains all W batches; adaptive trial budget.
+    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+    out = engine.query_queue_staged(dq)
+    full_np = np.asarray(jnp.concatenate([r.reshape(-1) for r in out]))
+    uncert: list[tuple[int, np.ndarray]] = []  # (batch, original rows)
+    n_occupied = 0
+    for w in range(W):
+        idx_w, ok_w = engine.unscatter_queue(
+            full_np[offs[w]:offs[w + 1]], fslots[w], orders[w])
+        risk = engine._sentinel_risk(batches[w])
+        if risk is not None:
+            ok_w &= ~risk
+        n_occupied += len(ok_w)
+        if not ok_w.all():
+            uncert.append((w, np.flatnonzero(~ok_w)))
+    n_uncert = int(sum(len(rows) for _, rows in uncert))
+    log(f"[bench] certificate coverage: {n_occupied - n_uncert}/{n_occupied} "
+        f"queries certified ({n_uncert} uncertified across "
+        f"{len(uncert)} of {W} batches) — uncertified rows are exactly "
+        f"re-answered INSIDE the timed program (serving parity)")
+    if n_uncert:
+        q_uncert = np.concatenate(
+            [batches[w][rows] for w, rows in uncert], axis=0)
+        bucket = 1 << max(3, int(np.ceil(np.log2(n_uncert))))
+        q_pad = np.zeros((bucket, K), np.float32)
+        q_pad[:n_uncert] = q_uncert
+        fb = FusedBruteForce(refs)
+        q_uncert_dev = jax.device_put(q_pad)
+        patch_np = np.asarray(fb.query(q_uncert_dev))[:n_uncert]  # warm
+    else:
+        fb = q_uncert_dev = None
+        patch_np = np.zeros(0, np.int32)
+
+    # Headline: one device program drains all W batches PLUS the exact
+    # re-answer of the uncertified tail; adaptive trial budget. The sync
+    # fetch rides the patch result when one exists (issued last, so its
+    # arrival implies the drain completed).
     times: list[float] = []
     best = float("inf")
     since_improve = 0
@@ -183,7 +224,10 @@ def main() -> int:
     while len(times) < MAX_TRIALS:
         t0 = time.perf_counter()
         out = engine.query_queue_staged(dq)
-        _ = np.asarray(out[-1])  # sync: final batch's (G, QM, 1) i32 winner table
+        if fb is not None:
+            patch_np = np.asarray(fb.query(q_uncert_dev))[:n_uncert]  # sync
+        else:
+            _ = np.asarray(out[-1])  # sync: final batch's winner table
         per_batch = (time.perf_counter() - t0) / W
         times.append(per_batch * 1e3)
         # best always tracks the true minimum (the reported headline must
@@ -206,21 +250,56 @@ def main() -> int:
         f"sync fetch): {_spread(times)} -> {qps:,.0f} qps"
     )
 
-    # Correctness gate + the graded JSON line, BEFORE the secondary
-    # measurements: a slow tunnel window can inflate the secondaries past
-    # any external cap on this script, and the graded artifact must not
-    # be hostage to them (observed: a 590 s cap expired mid-secondaries
-    # while the drain + gate were long done).
-    certificate_ok = bool(np.asarray(ok0).all())
-    log(f"[bench] exactness certificate holds for all queries: {certificate_ok}")
-    idx_np = np.asarray(idx0)
+    # Correctness gates + the graded JSON line, BEFORE the remaining
+    # secondary measurements: a slow tunnel window can inflate the
+    # secondaries past any external cap on this script, and the graded
+    # artifact must not be hostage to them (observed: a 590 s cap expired
+    # mid-secondaries while the drain + gate were long done). The gates
+    # check the SERVING answers the timed program actually produces:
+    # drain winners with the uncertified tail patched by the in-program
+    # exact rescan (VERDICT r3 item 4 — the drain reports W batches, so
+    # its evidence must cover W batches, not batch 0 alone).
+    def served_batch(w: int) -> np.ndarray:
+        """Final serving answers of batch w: unscattered winners with this
+        batch's uncertified rows patched from the timed exact rescan."""
+        idx_w, _ = engine.unscatter_queue(
+            full_np[offs[w]:offs[w + 1]], fslots[w], orders[w])
+        off = 0
+        for wu, rows in uncert:
+            if wu == w:
+                idx_w[rows] = patch_np[off : off + len(rows)]
+                break
+            off += len(rows)
+        return idx_w
+
     sub = np.random.default_rng(0).choice(
         N_QUERIES, size=min(512, N_QUERIES), replace=False
     )
-    recall = recall_at_1(idx_np[sub], queries[sub], refs)
-    log(f"[bench] recall@1 (512-query f64 oracle subsample): {recall}")
+    recall = recall_at_1(served_batch(0)[sub], queries[sub], refs)
+    log(f"[bench] recall@1 (batch 0, 512-query f64 oracle subsample): {recall}")
+    # A RANDOM mid-queue batch gets the same oracle treatment as batch 0.
+    rb = int(np.random.default_rng(1).integers(1, W)) if W > 1 else 0
+    sub_rb = np.random.default_rng(2).choice(
+        len(batches[rb]), size=min(512, len(batches[rb])), replace=False
+    )
+    recall_rb = recall_at_1(served_batch(rb)[sub_rb], batches[rb][sub_rb], refs)
+    log(f"[bench] recall@1 (batch {rb}, 512-query f64 oracle subsample): "
+        f"{recall_rb}")
+    # Every patched row is oracle-checked (there are few; all of them, up
+    # to 512, against the f64 oracle).
+    if n_uncert:
+        qs = np.concatenate([batches[w][rows] for w, rows in uncert], axis=0)
+        nchk = min(512, n_uncert)
+        sub_u = np.random.default_rng(3).choice(n_uncert, nchk, replace=False)
+        recall_u = recall_at_1(patch_np[sub_u], qs[sub_u], refs)
+    else:
+        recall_u = 1.0
+    log(f"[bench] recall@1 (all {min(512, n_uncert)} checked of {n_uncert} "
+        f"patched uncertified rows): {recall_u}")
 
-    value = qps if (recall == 1.0 and certificate_ok) else 0.0
+    value = qps if (
+        recall == 1.0 and recall_rb == 1.0 and recall_u == 1.0
+    ) else 0.0
     metric = "exact_1nn_qps_1M_refs_10k_queries_k3_1chip"
     if (N_REFS, N_QUERIES) != (1_000_000, 10_000):  # smoke-test override
         metric = f"exact_1nn_qps_{N_REFS}_refs_{N_QUERIES}_queries_k3_1chip"
@@ -238,24 +317,20 @@ def main() -> int:
 
     # Secondary: full-queue results downloaded to host (the tunnel charges
     # ~25 ms/MB on fetches; in a pipelined server this transfer overlaps the
-    # next drain, so it is reported but not the headline). The mid-queue
-    # cross-check needs at least one download, so the first trial always
-    # runs; later trials stop at the soft deadline.
+    # next drain, so it is reported but not the headline). One device-side
+    # concat of flattened rows -> ONE tunnel fetch; per-row fetches would
+    # pay the ~35 ms floor W times, and rows are ragged in QM, so concat,
+    # not stack. Trials stop at the soft deadline; the warm-up download
+    # already proved the path, so zero timed trials is tolerable.
     full_times = []
-    full_np = None
-    import jax.numpy as jnp
-
     for _ in range(6):
-        t0 = time.perf_counter()
-        out = engine.query_queue_staged(dq)
-        # One device-side concat of flattened rows -> ONE tunnel fetch
-        # (per-row fetches would pay the ~35 ms floor W times; rows are
-        # ragged in QM, so concat, not stack).
-        full_np = np.asarray(jnp.concatenate([r.reshape(-1) for r in out]))
-        full_times.append((time.perf_counter() - t0) / W * 1e3)
-        if time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
+        if full_times and time.perf_counter() - t_script0 > SOFT_DEADLINE_S:
             log("[bench] soft deadline reached; truncating full-download trials")
             break
+        t0 = time.perf_counter()
+        out = engine.query_queue_staged(dq)
+        full_np = np.asarray(jnp.concatenate([r.reshape(-1) for r in out]))
+        full_times.append((time.perf_counter() - t0) / W * 1e3)
     full_best = min(full_times)
     log(
         f"[bench] with full {full_np.nbytes/1e6:.1f} MB result download: "
