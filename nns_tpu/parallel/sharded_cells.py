@@ -64,9 +64,11 @@ def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
 def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
                       w: int, halo2: float, interpret: bool):
     """W staged batches drained in ONE sharded program: each chip slices
-    its group range out of every (replicated) dense batch tensor, scans it,
-    and the sign-encoded winner tables ride one all-gather per batch — the
-    multi-chip twin of the single-chip queue drain."""
+    its group range out of every (replicated) dense batch tensor and scans
+    it; the W local winner tables are stacked and ride ONE all-gather for
+    the whole drain (round 3 issued one collective PER BATCH — W ICI
+    latencies for payloads that together are only W * G * QM i32, a few MB;
+    one tiled gather moves the same bytes in one latency)."""
     def local(dstack, halo_dm_l, halo_ids_l):
         i = jax.lax.axis_index(axis)
         outs = []
@@ -75,8 +77,9 @@ def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
                 dstack[wi], i * g_local, g_local, axis=0
             )
             _, sgid = _cell_scan(dense_l, halo_dm_l, halo_ids_l, halo2, interpret)
-            outs.append(jax.lax.all_gather(sgid[:, :, 0], axis, tiled=True))
-        return jnp.stack(outs)  # (W, G_pad, Q_max)
+            outs.append(sgid[:, :, 0])
+        stacked = jnp.stack(outs)  # (W, g_local, Q_max)
+        return jax.lax.all_gather(stacked, axis, axis=1, tiled=True)
 
     return jax.jit(
         jax.shard_map(
@@ -92,9 +95,14 @@ def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
 class ShardedCellEngine(CellListEngine):
     """Supercell engine with halo tensors sharded over a 1-D mesh axis."""
 
-    # The sharded drain stacks the queue into one (W, G, QM, 3) mesh-wide
-    # program; it needs a shared QM, so query_queue keeps stage_queue.
-    _ragged_queue_drain = False
+    # Round 4: the sharded drain adopts the single-chip serving protocol —
+    # ragged per-batch pow2 q_max staging, canonicalized into per-shape-tier
+    # fixed-size sub-drains (_drain_ragged_canonical). Each sub-drain stacks
+    # its same-shape batches into one (c, G, QM, 3) mesh-wide program with
+    # ONE all-gather, so a skewed batch can no longer inflate the whole
+    # queue's tensors (the q_max cliff fixed on single chip in round 3) and
+    # the collective count is ceil(W_tier / chunk), not W.
+    _ragged_queue_drain = True
 
     def __init__(self, refs: np.ndarray, mesh: Mesh, **kwargs):
         self.mesh = mesh
@@ -128,11 +136,24 @@ class ShardedCellEngine(CellListEngine):
 
     def query_queue_staged(self, dstack, fstack=None,
                            group_batch: int | None = None):
-        """Sharded queue drain: same contract as the single-chip form —
-        (W, G*QM) i32 sign-encoded winners — so query_queue/unscatter_queue
-        work unchanged over the mesh."""
+        """Sharded queue drain: same contract as the single-chip form.
+        A stacked (W, G, QM, 3) array returns (W, G*QM) i32 sign-encoded
+        winners; a tuple of W same-shape (G, QM, 3) arrays (the canonical
+        ragged drain's per-tier chunks) returns W per-batch (G, QM) rows.
+        Either way the whole drain rides ONE all-gather."""
         del fstack, group_batch
-        dstack = jnp.asarray(dstack)
+        seq = isinstance(dstack, (tuple, list))
+        if seq:
+            shapes = {d.shape for d in dstack}
+            if len(shapes) > 1:
+                raise ValueError(
+                    "sharded tuple drain requires same-shape batches per "
+                    f"chunk (got {sorted(shapes)}); group by q_max tier "
+                    "first (query_queue does this)"
+                )
+            dstack = jnp.stack([jnp.asarray(d) for d in dstack])
+        else:
+            dstack = jnp.asarray(dstack)
         w, G = dstack.shape[0], self.D ** 3
         if self.g_pad != dstack.shape[1]:
             dstack = jnp.pad(
@@ -144,6 +165,8 @@ class ShardedCellEngine(CellListEngine):
             float(self.halo) ** 2, _interpret(),
         )
         out = fn(dstack, self.halo_dm, self.halo_ids_dev)  # (W, g_pad, QM)
+        if seq:
+            return tuple(out[wi, :G] for wi in range(w))
         return out[:, :G].reshape(w, -1)
 
     def query_submit(self, queries):  # pragma: no cover - guard

@@ -76,3 +76,18 @@ def test_sharded_queue_drain_matches_per_batch():
     for qb, idx in zip(batches, out):
         np.testing.assert_array_equal(idx, eng.query(qb))
         assert_exact(idx, qb, r)
+    # Mixed q_max at W >= 8 (VERDICT r3 item 3): skewed batches force a
+    # different pow2 q_max tier; the canonical ragged drain must split the
+    # queue into per-tier sub-drains (one all-gather each) and stay exact
+    # per batch — a skewed batch can no longer inflate the uniform tier.
+    def skew(m=400):
+        return (rng.random((m, 3), dtype=np.float32) * 0.02).astype(np.float32)
+
+    queue = [rng.random((400, 3), dtype=np.float32) for _ in range(6)]
+    queue.insert(2, skew())
+    queue.insert(5, skew())
+    assert len(queue) >= 8
+    out2 = eng.query_queue(queue)
+    for qb, idx in zip(queue, out2):
+        np.testing.assert_array_equal(idx, eng.query(qb))
+        assert_exact(idx, qb, r)
