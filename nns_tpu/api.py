@@ -276,7 +276,9 @@ class NNEngine:
     def _promote_to_beam(self) -> None:
         from nns_tpu.trees.octree import Octree
 
-        self._built = Octree.build(self._refs).device_index()
+        self._built = Octree.build(
+            self._refs, max_depth=self.config.octree_max_depth
+        ).device_index()
 
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
