@@ -28,7 +28,7 @@ N_REFS = int(os.environ.get("NNS_BENCH_N", str(1 << 20)))
 N_QUERIES = int(os.environ.get("NNS_BENCH_M", str(10_000)))
 K = 16
 SEED = 1000
-W = int(os.environ.get("NNS_BENCH_K16_W", "8"))
+W = int(os.environ.get("NNS_BENCH_K16_W", "32"))
 MIN_TRIALS = 6
 MAX_TRIALS = 48
 PATIENCE = 6

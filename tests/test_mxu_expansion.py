@@ -236,3 +236,28 @@ def test_band_refine_three_tile_tie_falls_back_to_full_scan():
     out = eng.query_staged(eng.stage_queries(q))
     assert int(out[0]) == 30
     assert eng._fallback is not None, "three-tile tie must reach tier 2"
+
+
+def test_chunked_dispatch_matches_monolith():
+    """Deep drains split into per-chunk dispatches (_m_cap) whose packed
+    and band outputs are device-concatenated: answers, certificates, and
+    the band refine's row indexing must be identical to the monolithic
+    path (the last chunk carries row padding; full chunks must not)."""
+    rng = np.random.default_rng(31)
+    refs = (rng.random((3000, 16)) + 1.0).astype(np.float32)
+    queries = (rng.random((150, 16)) + 1.0).astype(np.float32)
+    # Near-ties to force uncertified rows THROUGH the band refine in the
+    # chunked regime (rows 10 and 130 land in different chunks at cap=64).
+    queries[10] = refs[900] + 2e-6
+    queries[130] = refs[1700] + 2e-6
+    refs[2500] = refs[900] + 4e-6  # runner-up in another tile
+    eng_m = MXUExpansion(refs, tile_m=8, tile_n=512)
+    eng_c = MXUExpansion(refs, tile_m=8, tile_n=512)
+    eng_c._m_cap = 64  # 150 rows -> chunks of 64, 64, 22 (padded tail)
+    pm = eng_m._query_packed(queries)
+    pc = eng_c._query_packed(queries)
+    np.testing.assert_array_equal(pm, pc)
+    out_m = eng_m.query(queries)
+    out_c = eng_c.query(queries)
+    np.testing.assert_array_equal(out_m, out_c)
+    assert recall_at_1(out_c, queries, refs) == 1.0
