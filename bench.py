@@ -201,9 +201,11 @@ def main() -> int:
         f"{len(uncert)} of {W} batches) — uncertified rows are exactly "
         f"re-answered INSIDE the timed program (serving parity)")
     if n_uncert:
+        from nns_tpu.kernels.layouts import pow2_at_least
+
         q_uncert = np.concatenate(
             [batches[w][rows] for w, rows in uncert], axis=0)
-        bucket = 1 << max(3, int(np.ceil(np.log2(n_uncert))))
+        bucket = pow2_at_least(max(n_uncert, 8))
         q_pad = np.zeros((bucket, K), np.float32)
         q_pad[:n_uncert] = q_uncert
         fb = FusedBruteForce(refs)

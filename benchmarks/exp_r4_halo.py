@@ -58,7 +58,9 @@ def main() -> None:
             _, ok_w = eng.unscatter_queue(
                 full[offs[w]:offs[w + 1]], fslots[w], orders[w])
             n_unc += int((~ok_w).sum())
-        bucket = 1 << max(3, int(np.ceil(np.log2(max(n_unc, 1)))))
+        from nns_tpu.kernels.layouts import pow2_at_least
+
+        bucket = pow2_at_least(max(n_unc, 8))
         q_pad = jax.device_put(np.zeros((bucket, K), np.float32))
         _ = np.asarray(fb.query(q_pad))  # warm the patch bucket
         best = np.inf

@@ -350,8 +350,11 @@ class CellListEngine:
     matching the octree family's domain; other k route to the fused kernel)."""
 
     # query_queue staging form: True = ragged per-batch q_max through the
-    # tuple drain (single-chip); subclasses whose drain stacks batches
-    # across a mesh set False to keep shared-QM staging.
+    # canonical tier/chunk drain (both the single-chip engine and, since
+    # round 4, ShardedCellEngine — its query_queue_staged stacks each
+    # same-shape chunk into one mesh-wide program). False keeps shared-QM
+    # stacked staging; no in-tree engine uses it, but the stacked
+    # query_queue_staged form remains public API.
     _ragged_queue_drain = True
 
     def __init__(self, refs: np.ndarray, d_per_dim: int | None = None,
@@ -653,8 +656,12 @@ class CellListEngine:
         return idx, ok
 
     # Sub-drain sizes for the serving (canonicalized) ragged drain, largest
-    # first; greedy decomposition of each tier's batch count.
-    _CHUNK_LADDER = (64, 8, 1)
+    # first; greedy decomposition of each tier's batch count. The small
+    # steps (4, 2) keep remainders amortized: a 7-batch tier drains as
+    # 4+2+1 (3 dispatches / sharded collectives) instead of 7 singles,
+    # while the compiled-program universe stays bounded by
+    # tiers x len(ladder).
+    _CHUNK_LADDER = (64, 8, 4, 2, 1)
 
     def _drain_ragged_canonical(self, denses):
         """Serving-safe ragged drain: group batches by dense shape (the
@@ -700,11 +707,11 @@ class CellListEngine:
         Staging is RAGGED on the single-chip engine (per-batch pow2 q_max —
         one skewed batch cannot inflate the whole drain's tensors; see
         stage_queue_ragged) and the drain is CANONICALIZED into per-tier
-        fixed-size sub-drains (_drain_ragged_canonical) so novel queue
-        compositions never trace new programs; the host still pays ONE
-        sync fetch. The sharded engine's drain stacks batches across the
-        mesh, so it keeps shared-QM staging
-        (``_ragged_queue_drain = False``)."""
+        fixed-size sub-drains (_drain_ragged_canonical) so the compiled-
+        program universe is bounded by tiers x ladder sizes; the host
+        still pays ONE sync fetch. ShardedCellEngine inherits this drain —
+        its query_queue_staged stacks each same-shape chunk into one
+        mesh-wide program with one all-gather (round 4)."""
         if self._ragged_queue_drain:
             denses, fslots, orders = self.stage_queue_ragged(batches)
             staged_ok = denses is not None

@@ -358,8 +358,10 @@ def _band_refine(qpack, bad_idx, band, refs_t, r2h_t, delta,
     t12 = jnp.stack([tile1, bsel[:, 0].astype(jnp.int32)], axis=1)
     t3 = bsel[:, 1]
     b = q_bad.shape[0]
-    # Chunk the (mc, 2, tile_n, kp) gather to bound the temporary.
-    mc = min(b, max(_SUBLANE, ((1 << 21) // tile_n) // _SUBLANE * _SUBLANE))
+    # Chunk the (mc, 2, tile_n, kp) gather to bound the temporary — the
+    # factor 2 counts BOTH gathered tiles, keeping the per-step gather at
+    # the same ~2M-point bound phase 2 uses for its single-subtile gather.
+    mc = min(b, max(_SUBLANE, ((1 << 21) // (2 * tile_n)) // _SUBLANE * _SUBLANE))
     nchunks = b // mc if b % mc == 0 else b // mc + 1
     bp = nchunks * mc
     if bp != b:

@@ -345,9 +345,23 @@ def test_engine_adaptation_ladder_on_diverse_shapes(shape_kwargs):
             rng.random((96, 3), dtype=np.float32) * (hi - lo) + lo
         ).astype(np.float32)
         assert_exact(eng.query(qb), qb, r)
-    # If the ladder promoted to the beam index, the build must have used
-    # the configured depth cap.
-    from nns_tpu.trees.beam import BeamIndex
 
-    if isinstance(eng._built, BeamIndex) and hasattr(eng._built, "max_depth"):
-        assert eng._built.max_depth <= 6
+def test_promote_to_beam_honors_octree_max_depth(monkeypatch):
+    """_promote_to_beam must pass config.octree_max_depth to Octree.build
+    (VERDICT r3 item 8's 'also trivial' fix), asserted by spying on the
+    build call — BeamIndex itself carries no depth attribute."""
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.trees import octree as octree_mod
+
+    seen = {}
+    real_build = octree_mod.Octree.build.__func__
+
+    def spy(cls, refs, max_depth=9):
+        seen["max_depth"] = max_depth
+        return real_build(cls, refs, max_depth)
+
+    monkeypatch.setattr(octree_mod.Octree, "build", classmethod(spy))
+    _, r = make_dataset(3, 8, 8192, seed=62)
+    eng = NNEngine(14, config=EngineConfig(octree_max_depth=6)).build(r)
+    eng._promote_to_beam()
+    assert seen["max_depth"] == 6

@@ -311,28 +311,41 @@ def test_query_queue_canonical_drain_bounds_traces():
     def skew(m=200):
         return (rng.random((m, 3), dtype=np.float32) * 0.02).astype(np.float32)
 
-    queue_a = [uni(), uni(), skew(), uni(), uni()]
+    # Warm every sub-8 ladder size (8+4+2+1 = 15 batches) for BOTH tiers:
+    # after this, any queue whose per-tier counts are <= 15 decomposes
+    # into already-traced chunk programs. Later queues REUSE these pool
+    # arrays — a batch's qm tier depends on its content (slot occupancy),
+    # so fresh draws could mint a new tier and make the zero-trace
+    # assertion flaky.
+    pool_u = [uni() for _ in range(15)]
+    pool_s = [skew() for _ in range(15)]
+    eng.query_queue(pool_u + pool_s)
+    size_warm = _device_query_queue_seq._cache_size()
+
+    queue_a = [pool_u[0], pool_u[1], pool_s[0], pool_u[2], pool_u[3]]
     res_a = eng.query_queue(queue_a)
-    size_after_a = _device_query_queue_seq._cache_size()
+    assert _device_query_queue_seq._cache_size() == size_warm
     # Same multiset, permuted order: zero new traces, identical answers.
     perm = [2, 0, 4, 1, 3]
     res_b = eng.query_queue([queue_a[i] for i in perm])
-    assert _device_query_queue_seq._cache_size() == size_after_a
+    assert _device_query_queue_seq._cache_size() == size_warm
     for i, j in enumerate(perm):
         np.testing.assert_array_equal(res_b[i], res_a[j])
-    # A novel mix (different per-tier counts) reuses the same per-tier
-    # chunk programs: still zero new traces, still exact.
-    queue_c = [uni(), skew(), skew(), uni(), uni(), uni(), uni()]
+    # A novel mix (different per-tier counts): still zero new traces,
+    # still exact.
+    queue_c = [pool_u[4], pool_s[1], pool_s[2], pool_u[5], pool_u[6],
+               pool_u[7], pool_u[8]]
     res_c = eng.query_queue(queue_c)
-    assert _device_query_queue_seq._cache_size() == size_after_a
+    assert _device_query_queue_seq._cache_size() == size_warm
     for qb, idx in zip(queue_c, res_c):
         assert_exact(idx, qb, r)
-    # A tier count crossing a ladder step (> 8 same-shape batches) traces
-    # the 8-chunk program once; repeating the composition adds nothing.
-    queue_d = [uni(100) for _ in range(9)]
-    eng.query_queue(queue_d)
+    # A DIFFERENT batch size is its own tier family: its ladder warms
+    # once (8+4+2+1), after which any count <= 15 adds nothing.
+    pool_d = [uni(100) for _ in range(15)]
+    eng.query_queue(pool_d)
     size_after_d = _device_query_queue_seq._cache_size()
-    eng.query_queue([uni(100) for _ in range(10)])
+    eng.query_queue(pool_d[:9])
+    eng.query_queue(pool_d[2:12])
     assert _device_query_queue_seq._cache_size() == size_after_d
 
 

@@ -80,13 +80,15 @@ def test_sharded_queue_drain_matches_per_batch():
     # different pow2 q_max tier; the canonical ragged drain must split the
     # queue into per-tier sub-drains (one all-gather each) and stay exact
     # per batch — a skewed batch can no longer inflate the uniform tier.
+    # 10 uniform batches make the uniform tier decompose 8+2, so the
+    # MULTI-BATCH stacked mesh program (w=8: jnp.stack + one tiled
+    # all-gather + per-batch out[wi, :G] slicing) is what actually runs.
     def skew(m=400):
         return (rng.random((m, 3), dtype=np.float32) * 0.02).astype(np.float32)
 
-    queue = [rng.random((400, 3), dtype=np.float32) for _ in range(6)]
+    queue = [rng.random((400, 3), dtype=np.float32) for _ in range(10)]
     queue.insert(2, skew())
     queue.insert(5, skew())
-    assert len(queue) >= 8
     out2 = eng.query_queue(queue)
     for qb, idx in zip(queue, out2):
         np.testing.assert_array_equal(idx, eng.query(qb))
