@@ -53,6 +53,10 @@ class BenchConfig:
     # main.cu:10-35) or clustered Gaussian mixtures (BASELINE config 5's
     # domain; queries stay uniform over the data box either way).
     clustered: bool = False
+    # Extra make_dataset blob-shape knobs for clustered runs (sigma,
+    # n_clusters, anisotropy, powerlaw — round-4 workload diversity);
+    # an immutable items-tuple so configs stay hashable.
+    cluster_shape: tuple = ()
     # Max queries to verify against the f64 oracle per config (full check when
     # m is small; subsample for huge m to bound oracle cost).
     recall_check_queries: int = 4096

@@ -46,12 +46,13 @@ _oracle_cache: dict = {}
 
 
 def _oracle_for(k: int, m: int, n: int, seed: int, cap: int,
-                clustered: bool = False):
+                clustered: bool = False, cluster_shape: tuple = ()):
     """Cached oracle minima for a (config, seed), on a query subsample sized
     to bound the f64 scan cost."""
-    key = (k, m, n, seed, cap, clustered)
+    key = (k, m, n, seed, cap, clustered, cluster_shape)
     if key not in _oracle_cache:
-        queries, refs = make_dataset(k, m, n, seed, clustered=clustered)
+        queries, refs = make_dataset(k, m, n, seed, clustered=clustered,
+                                     **dict(cluster_shape))
         budget = max(1, min(m, cap, (1 << 28) // max(n, 1)))
         sub = (
             np.arange(m)
@@ -70,7 +71,8 @@ def run_one(
     n: int,
     cfg: BenchConfig,
 ) -> RunRecord:
-    queries, refs = make_dataset(k, m, n, cfg.seed, clustered=cfg.clustered)
+    queries, refs = make_dataset(k, m, n, cfg.seed, clustered=cfg.clustered,
+                                 **dict(cfg.cluster_shape))
     engine = NNEngine(version)
 
     # Warm the BUILD path too (the core.cu:1900-1933 compile-exclusion
@@ -100,7 +102,8 @@ def run_one(
     recall = None
     if cfg.check_recall:
         sub, dmin = _oracle_for(
-            k, m, n, cfg.seed, cfg.recall_check_queries, cfg.clustered
+            k, m, n, cfg.seed, cfg.recall_check_queries, cfg.clustered,
+            cfg.cluster_shape,
         )
         recall = recall_at_1(np.asarray(idx)[sub], queries[sub], refs, oracle_dmin=dmin)
 
@@ -160,6 +163,14 @@ def main(argv: list[str] | None = None) -> int:
         "--clustered", action="store_true",
         help="clustered Gaussian-mixture reference points (BASELINE config 5 domain)",
     )
+    p.add_argument("--cluster-sigma", type=float, default=None,
+                   help="blob sigma (default 0.01; clustered only)")
+    p.add_argument("--cluster-count", type=int, default=None,
+                   help="blob count (default ~sqrt(n)/4; clustered only)")
+    p.add_argument("--cluster-anisotropy", type=float, default=None,
+                   help="per-axis sigma stretch ratio (clustered only)")
+    p.add_argument("--cluster-powerlaw", action="store_true",
+                   help="Zipf-like blob populations (clustered only)")
     p.add_argument("--jsonl", default=None, help="append structured records to this JSONL file")
     p.add_argument(
         "--profile-dir", default=None,
@@ -182,6 +193,16 @@ def main(argv: list[str] | None = None) -> int:
         timing_iters=args.iters,
         check_recall=not args.no_recall,
         clustered=args.clustered,
+        cluster_shape=tuple(
+            (key, val)
+            for key, val in (
+                ("sigma", args.cluster_sigma),
+                ("n_clusters", args.cluster_count),
+                ("anisotropy", args.cluster_anisotropy),
+                ("powerlaw", True if args.cluster_powerlaw else None),
+            )
+            if val is not None
+        ),
         jsonl_path=args.jsonl,
     )
     if args.profile_dir:
