@@ -290,12 +290,14 @@ class NNEngine:
             import jax
 
             # Build/query semantics amortize index construction: prefer the
-            # supercell flagship for large 3-D sets on one chip, the sharded
-            # brute force across several, else the fused kernel.
-            if len(jax.devices()) > 1:
-                self.spec = get_version(8)
-            elif refs.shape[1] == 3 and refs.shape[0] >= 65536:
+            # supercell flagship for large 3-D sets (its build shards over
+            # the mesh on multi-device runtimes — round 4), the sharded
+            # brute force for other shapes across several chips, else the
+            # fused kernel.
+            if refs.shape[1] == 3 and refs.shape[0] >= 65536:
                 self.spec = get_version(14)
+            elif len(jax.devices()) > 1:
+                self.spec = get_version(8)
             else:
                 self.spec = get_version(4)
         if self.spec.family == "tree":
@@ -303,10 +305,33 @@ class NNEngine:
                 from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
                 if refs.shape[1] == 3 and refs.shape[0] >= 4096:
+                    import jax
+
                     from nns_tpu.kernels.cell_list import CellListEngine
 
                     try:
-                        self._built = CellListEngine(refs)
+                        if self._auto and len(jax.devices()) > 1:
+                            # Multi-chip flagship (round 4, AUTO only —
+                            # explicit v14 stays the single-chip rung,
+                            # matching the reference ladder where v8 is
+                            # the multi-GPU version): halo groups
+                            # partition over the mesh; the canonical
+                            # queue drain and query/query_many surfaces
+                            # are inherited, so the serving protocol is
+                            # the same engine, sharded. Trade-offs:
+                            # save() raises (placement-specific state)
+                            # and the beam/brute adaptation ladder stays
+                            # off (its indices are single-chip; the
+                            # exact fallback still answers uncovered
+                            # queries).
+                            from nns_tpu.parallel.mesh import make_mesh
+                            from nns_tpu.parallel.sharded_cells import (
+                                ShardedCellEngine,
+                            )
+
+                            self._built = ShardedCellEngine(refs, make_mesh())
+                        else:
+                            self._built = CellListEngine(refs)
                     except ValueError:
                         # Too clustered for the cell index: degrade ONCE at
                         # build time to the staged fused engine (re-attempting

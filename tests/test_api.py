@@ -365,3 +365,29 @@ def test_promote_to_beam_honors_octree_max_depth(monkeypatch):
     eng = NNEngine(14, config=EngineConfig(octree_max_depth=6)).build(r)
     eng._promote_to_beam()
     assert seen["max_depth"] == 6
+
+
+def test_auto_multi_device_builds_sharded_flagship():
+    """AUTO on a multi-device runtime with a large 3-D set builds the
+    SHARDED supercell flagship (round 4); explicit v14 stays the
+    single-chip rung (the reference ladder's v8 is the multi-GPU
+    version). Both serve exactly, including the queue path."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple devices")
+    from nns_tpu.kernels.cell_list import CellListEngine
+    from nns_tpu.parallel.sharded_cells import ShardedCellEngine
+
+    rng = np.random.default_rng(70)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine("auto").build(r)
+    assert type(eng._built) is ShardedCellEngine
+    q = rng.random((200, 3), dtype=np.float32)
+    assert_exact(eng.query(q), q, r)
+    batches = [rng.random((128, 3), dtype=np.float32) for _ in range(3)]
+    for qb, idx in zip(batches, eng.query_many(batches)):
+        assert_exact(idx, qb, r)
+
+    eng14 = NNEngine(14).build(r)
+    assert type(eng14._built) is CellListEngine
