@@ -229,18 +229,13 @@ def _phase2_chunk(q, tid, m2x, refs_t, r2h_t, delta, tile_n):
     return idx, cert, wmin1
 
 
-@functools.partial(
-    jax.jit, static_argnames=("kp", "tile_m", "tile_n", "ts", "interpret")
-)
-def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
-                     ts, interpret):
-    """ONE dispatch for the whole query: k-pad + bf16 triple split +
-    min-only Pallas phase 1 + winning-tile f32 rescan phase 2 +
-    certificate, jitted together. Returns packed (4, m) f32
-    [min1, idx_hi, idx_lo, cert] so the caller pays a single host fetch;
-    ids transit as two f32-exact 12-/19-bit halves (idx = hi*4096 + lo),
-    exact for any n < 2^31 — the engine's real bound is HBM, not id
-    precision."""
+def _phase12(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
+             ts, interpret):
+    """Traced core shared by the packed query and the serving drain:
+    k-pad + bf16 triple split + min-only Pallas phase 1 + winning-subtile
+    f32 rescan phase 2 + certificate. Returns per-row
+    (min1 (m,), idx (m,) i32, cert (m,) bool) plus the tile-granular band
+    feed (tid2, t3v) as (m_pad, 1) arrays for the band-limited refine."""
     m = q.shape[0]
     if kp != q.shape[1]:
         q = jnp.pad(q, ((0, 0), (0, kp - q.shape[1])))
@@ -298,31 +293,112 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
             m2xp.reshape(nchunks, mc),
         ),
     )
-    idx_flat = idx2.reshape(-1)[:m]
-    idx_hi = (idx_flat // 4096).astype(jnp.float32)
-    idx_lo = (idx_flat % 4096).astype(jnp.float32)
-    packed = jnp.stack(
-        [min12.reshape(-1)[:m], idx_hi, idx_lo, cert2.reshape(-1)[:m]]
+    return (
+        min12.reshape(-1)[:m],
+        idx2.reshape(-1)[:m].astype(jnp.int32),
+        cert2.reshape(-1)[:m] > 0.5,
+        tid2,
+        t3v,
     )
-    # The band-refine feed stays ON DEVICE (the caller fetches packed
-    # only): per-row second-best tile id + third-best tile min, (m_pad, 2)
-    # f32 (tile ids < 2^19 are f32-exact).
-    band = jnp.concatenate(
-        [tid2.astype(jnp.float32), t3v], axis=1
-    )
-    return packed, band
 
 
-@functools.partial(jax.jit, static_argnames=("tile_n", "n_total"))
-def _band_refine(qpack, bad_idx, band, refs_t, r2h_t, delta,
-                 tile_n, n_total):
+@functools.partial(
+    jax.jit, static_argnames=("kp", "tile_m", "tile_n", "ts", "interpret")
+)
+def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
+                     ts, interpret):
+    """ONE dispatch for the whole query: the _phase12 core packed as a
+    (4, m) f32 [min1, idx_hi, idx_lo, cert] so the caller pays a single
+    host fetch; ids transit as two f32-exact 12-/19-bit halves
+    (idx = hi*4096 + lo), exact for any n < 2^31 — the engine's real
+    bound is HBM, not id precision. This is the inspection path
+    (query_min_idx_cert); the serving drain uses _expansion_drain."""
+    min1, idx, cert, _, _ = _phase12(
+        q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n, ts, interpret
+    )
+    idx_hi = (idx // 4096).astype(jnp.float32)
+    idx_lo = (idx % 4096).astype(jnp.float32)
+    return jnp.stack([min1, idx_hi, idx_lo, cert.astype(jnp.float32)])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("kp", "tile_m", "tile_n", "ts", "maxbad", "interpret"),
+)
+def _expansion_drain(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
+                     ts, maxbad, interpret):
+    """The serving-drain program: _phase12 + IN-PROGRAM tier-1 band refine
+    + sign-encoded single-int32 output — one dispatch, one (m,) i32 fetch.
+
+    Round-4 drain economics (the round-3 form fetched a (4, m) f32 packed
+    array and ran the band refine as a separate host round trip): through
+    the tunnel the packed fetch costs ~25 ms/MB, so at the k=16 W=32 drain
+    (m=320K) the 5.1 MB fetch alone was ~5 ms/batch and the refine's
+    upload+dispatch+fetch another ~2.3 — together the difference between
+    27 and ~22 ms/batch. Here:
+
+    - uncertified rows are COMPACTED ON DEVICE (cumsum positions +
+      drop-mode scatter) into a static ``maxbad``-row bucket,
+    - the band-limited top-2-tile direct-f32 rescan (_band_refine_rows,
+      soundness in its docstring) runs inside the same program under a
+      ``lax.cond`` — a fully-certified batch pays nothing,
+    - results scatter back (drop-mode, pad slots aimed out of range) and
+      the output is ONE int32 per row: ``idx`` where the answer is
+      certified final, ``-idx - 1`` where the host must re-answer by the
+      exact full scan (refine-refused straddling ties, or bad rows beyond
+      the ``maxbad`` bucket — both sound: negative rows are always
+      re-answered).
+    """
+    m = q.shape[0]
+    _, idx, cert, tid2, t3v = _phase12(
+        q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n, ts, interpret
+    )
+    signed0 = jnp.where(cert, idx, -idx - 1)
+    bad = jnp.logical_not(cert)
+    nbad = jnp.sum(bad.astype(jnp.int32))
+
+    def refine(signed):
+        rowid = jnp.arange(m, dtype=jnp.int32)
+        pos = jnp.cumsum(bad.astype(jnp.int32)) - 1
+        # Bad row b lands in compaction slot pos[b]; rows past the bucket
+        # (and certified rows) aim at slot maxbad and are dropped.
+        slot = jnp.where(bad, pos, maxbad)
+        rows = jnp.full((maxbad,), m, dtype=jnp.int32)
+        rows = rows.at[slot].set(rowid, mode="drop")
+        valid = rows < m
+        rsafe = jnp.where(valid, rows, 0)
+        qp = q if kp == q.shape[1] else jnp.pad(
+            q, ((0, 0), (0, kp - q.shape[1]))
+        )
+        qb = jnp.take(qp, rsafe, axis=0)                 # (maxbad, kp)
+        q2b = jnp.sum(qb * qb, axis=1)
+        tile1 = jnp.take(idx, rsafe) // tile_n
+        tile2 = jnp.take(tid2[:, 0], rsafe)
+        t3b = jnp.take(t3v[:, 0], rsafe)
+        n_total = refs_t.shape[0] * refs_t.shape[1]
+        ridx, rok = _band_refine_rows(
+            qb, q2b, jnp.stack([tile1, tile2], axis=1), t3b,
+            refs_t, r2h_t, delta, tile_n, n_total,
+        )
+        back = jnp.where(valid, rows, m)                 # m -> dropped
+        return signed.at[back].set(
+            jnp.where(rok, ridx, -ridx - 1), mode="drop"
+        )
+
+    return jax.lax.cond(nbad > 0, refine, lambda s: s, signed0)
+
+
+def _band_refine_rows(q_bad, q2_bad, t12, t3, refs_t, r2h_t, delta,
+                      tile_n, n_total):
     """Band-limited refine of uncertified rows: a direct-f32 rescan of each
     row's TOP-2 tiles (winner's tile + phase-1's second-best tile),
-    certified by the third-best tile min.
+    certified by the third-best tile min. Traced inside _expansion_drain
+    (round 4: the earlier standalone jit cost a host round trip — qpack
+    upload + a second ~35 ms tunnel fetch — per drain).
 
     Replaces (for ~all uncertified rows) the full 1M-point FusedBruteForce
     rescan — the xplane r4 decomposition priced that at ~102 ms device per
-    8K-row bucket vs ~6 ms here (the 2-tile gather is ~0.5 MB/row).
+    8K-row bucket vs ~29 ms here (the 2-tile gather is ~0.5 MB/row).
 
     Soundness: any point OUTSIDE the two gathered tiles lies in a tile
     whose phase-1 min is >= t3 (the third-smallest), so its true expansion
@@ -338,25 +414,15 @@ def _band_refine(qpack, bad_idx, band, refs_t, r2h_t, delta,
     fall through to the full scan. With n_tiles <= 2 everything is
     gathered and t3 stays +inf, so the bound passes vacuously — correct.
 
-    qpack (B, kp+2) f32 = [q zero-padded | |q|^2 | winner tile id] — one
-    array so the tunneled host->device path pays ONE in-stream upload
-    (~10 ms each); bad_idx (B,) i32 rows into band; band (m_pad, 2) f32 =
-    [second-best tile id, third-best tile min] straight from phase-1's
-    carried sorted-3 (stays on device); refs_t (n_sub, ts, kp) /
-    r2h_t (n_sub, ts) — the engine's phase-2 staging, re-viewed at tile
-    granularity (free reshape). Returns ONE packed (2, B) i32 array
-    [idx, ok] so the caller pays a single ~35 ms tunnel fetch (two
-    separate fetches measured as the refine's largest term).
+    q_bad (B, kp) f32 zero-padded; q2_bad (B,) f32 |q|^2; t12 (B, 2) i32
+    [winner tile, second-best tile]; t3 (B,) f32 third-best tile min;
+    refs_t (n_sub, ts, kp) / r2h_t (n_sub, ts) — the engine's phase-2
+    staging, re-viewed at tile granularity (free reshape). Returns
+    (idx (B,) i32, ok (B,) bool).
     """
     n_tiles = refs_t.shape[0] * refs_t.shape[1] // tile_n
     refs_tiles = refs_t.reshape(n_tiles, tile_n, -1)
     r2h_tiles = r2h_t.reshape(n_tiles, tile_n)
-    q_bad = qpack[:, :-2]
-    q2_bad = qpack[:, -2]
-    tile1 = qpack[:, -1].astype(jnp.int32)
-    bsel = jnp.take(band, bad_idx, axis=0)            # (B, 2)
-    t12 = jnp.stack([tile1, bsel[:, 0].astype(jnp.int32)], axis=1)
-    t3 = bsel[:, 1]
     b = q_bad.shape[0]
     # Chunk the (mc, 2, tile_n, kp) gather to bound the temporary — the
     # factor 2 counts BOTH gathered tiles, keeping the per-step gather at
@@ -396,9 +462,7 @@ def _band_refine(qpack, bad_idx, band, refs_t, r2h_t, delta,
             t3.reshape(nchunks, mc),
         ),
     )
-    return jnp.stack(
-        [idx.reshape(-1)[:b], ok.reshape(-1)[:b].astype(jnp.int32)]
-    )
+    return idx.reshape(-1)[:b], ok.reshape(-1)[:b]
 
 
 class MXUExpansion:
@@ -495,10 +559,10 @@ class MXUExpansion:
         delta = _DELTA_REL_PER_K * max(self.k, 1) * (q2_max + self._r2_max)
         return StagedQueries(q_np, jax.device_put(q_np), float(delta))
 
-    def _packed_staged(self, st: "StagedQueries"):
-        """-> (packed (4, m) numpy, band (m_pad', 2) device handle or
-        None). Only packed is fetched; band stays on device for the
-        band-limited refine.
+    def _packed_staged(self, st: "StagedQueries") -> np.ndarray:
+        """-> packed (4, m) numpy [min1, idx_hi, idx_lo, cert] — the
+        inspection path behind query_min_idx_cert (the serving drain is
+        _drain_staged).
 
         Very deep drains are chunked into separate dispatches (~1 ms each
         through the tunnel) whose outputs are device-concatenated, so the
@@ -507,33 +571,65 @@ class MXUExpansion:
         untested against the remote helper's limits)."""
         m = st.q_np.shape[0]
         if m == 0:
-            return np.zeros((4, 0), dtype=np.float32), None
+            return np.zeros((4, 0), dtype=np.float32)
         cap = self._m_cap
         if m <= cap:
-            packed, band = _expansion_query(
+            return np.asarray(_expansion_query(
                 st.q_dev, self.rc, self.r2h, self.refs_t, self.r2h_t,
                 jnp.float32(st.delta), self.kp, self.tile_m, self.tile_n,
                 self.ts, _interpret(),
-            )
-            return np.asarray(packed), band  # single host fetch
-        packeds, bands = [], []
-        for s in range(0, m, cap):
-            p, t = _expansion_query(
+            ))  # single host fetch
+        packeds = [
+            _expansion_query(
                 st.q_dev[s : s + cap], self.rc, self.r2h, self.refs_t,
                 self.r2h_t, jnp.float32(st.delta), self.kp, self.tile_m,
                 self.tile_n, self.ts, _interpret(),
             )
-            packeds.append(p)
-            bands.append(t)
-        packed = jnp.concatenate(packeds, axis=1)
-        # Full chunks contribute exactly cap rows (cap is sublane-aligned,
-        # so m_pad == cap); only the LAST chunk may carry row padding, so
-        # global row i < m indexes the concatenation correctly.
-        band = jnp.concatenate(bands, axis=0)
-        return np.asarray(packed), band
+            for s in range(0, m, cap)
+        ]
+        return np.asarray(jnp.concatenate(packeds, axis=1))
+
+    def _maxbad(self, m: int) -> int:
+        """Static tier-1 bucket for the in-program band refine: sized
+        ~1.55x the measured uncertified fraction (~1.65% at k=16,
+        1M-uniform density), capped so the always-compiled gather stays
+        ~2 GB of HBM traffic worst case. Bad rows beyond the bucket come
+        back sign-encoded and are re-answered by the host full scan —
+        sound on any data, just slower on adversarial tie floods."""
+        return min(1 << 14, layouts.pow2_at_least(max(128, m // 40)))
+
+    def _drain_staged(self, st: "StagedQueries") -> np.ndarray:
+        """-> signed (m,) int32: ``idx`` certified-final, ``-idx - 1``
+        needs the host full scan. ONE dispatch + ONE 4 B/row fetch —
+        the (4, m) f32 packed fetch this replaces cost ~25 ms/MB through
+        the tunnel (~5 ms/batch at the k=16 W=32 drain) and the refine's
+        host round trip another ~2.3 (xplane + wall decomposition, r4).
+        Deep drains chunk like _packed_staged; each chunk runs its own
+        in-program refine (self-contained rows), outputs are
+        device-concatenated, one fetch."""
+        m = st.q_np.shape[0]
+        if m == 0:
+            return np.zeros((0,), dtype=np.int32)
+        cap = self._m_cap
+        if m <= cap:
+            return np.asarray(_expansion_drain(
+                st.q_dev, self.rc, self.r2h, self.refs_t, self.r2h_t,
+                jnp.float32(st.delta), self.kp, self.tile_m, self.tile_n,
+                self.ts, self._maxbad(m), _interpret(),
+            ))
+        outs = [
+            _expansion_drain(
+                st.q_dev[s : s + cap], self.rc, self.r2h, self.refs_t,
+                self.r2h_t, jnp.float32(st.delta), self.kp, self.tile_m,
+                self.tile_n, self.ts,
+                self._maxbad(min(cap, m - s)), _interpret(),
+            )
+            for s in range(0, m, cap)
+        ]
+        return np.asarray(jnp.concatenate(outs))
 
     def _query_packed(self, queries) -> np.ndarray:
-        return self._packed_staged(self.stage_queries(queries))[0]
+        return self._packed_staged(self.stage_queries(queries))
 
     @staticmethod
     def _unpack_idx(packed: np.ndarray) -> np.ndarray:
@@ -559,9 +655,12 @@ class MXUExpansion:
 
     def query_staged(self, st: "StagedQueries"):
         """query() on a pre-staged query set (see stage_queries) — the
-        serving drain path: per-request device work only, upload untimed."""
+        serving drain path: per-request device work only, upload untimed.
+        The drain program already folds the tier-1 band refine in
+        (_expansion_drain); the host only re-answers sign-encoded rows
+        (straddling ties / bucket overflow) by the exact full scan."""
         try:
-            packed, band = self._packed_staged(st)
+            signed = self._drain_staged(st)
         except ValueError:
             raise  # caller errors (shape mismatch) are not degradation
         except Exception as ex:  # pragma: no cover - backend-specific
@@ -573,39 +672,10 @@ class MXUExpansion:
             if self._fallback is None:
                 self._fallback = FusedBruteForce(self.refs)
             return np.asarray(self._fallback.query(st.q_np)).astype(np.int32)
-        idx = self._unpack_idx(packed)
-        cert = packed[3] > 0.5
-        if cert.all():
+        idx = np.where(signed >= 0, signed, -signed - 1).astype(np.int32)
+        bad = np.flatnonzero(signed < 0)
+        if len(bad) == 0:
             return idx
-        bad = np.flatnonzero(~cert)
-        # Tier 1: band-limited direct-f32 rescan of each bad row's top-2
-        # tiles (see _band_refine).
-        if band is not None:
-            bucket = layouts.pow2_at_least(max(len(bad), 8))
-            qpack = np.zeros((bucket, self.kp + 2), np.float32)
-            q_np = st.q_np[bad]
-            qpack[: len(bad), : q_np.shape[1]] = q_np
-            qpack[: len(bad), -2] = (
-                q_np.astype(np.float32) ** 2
-            ).sum(axis=1)
-            # Winner tile id: phase-2 rescans within phase-1's winning
-            # subtile, so the returned global id's tile IS that tile.
-            qpack[: len(bad), -1] = (idx[bad] // self.tile_n).astype(
-                np.float32
-            )
-            bad_idx = np.zeros(bucket, np.int32)
-            bad_idx[: len(bad)] = bad
-            rpacked = np.asarray(_band_refine(
-                jnp.asarray(qpack), jnp.asarray(bad_idx),
-                band, self.refs_t, self.r2h_t, jnp.float32(st.delta),
-                self.tile_n, self.refs_t.shape[0] * self.refs_t.shape[1],
-            ))  # one fetch: (2, B) i32 [idx, ok]
-            ridx = rpacked[0, : len(bad)]
-            rok = rpacked[1, : len(bad)].astype(bool)
-            idx[bad[rok]] = ridx[rok]
-            bad = bad[~rok]
-            if len(bad) == 0:
-                return idx
         # Tier 2: full exact scan for rows the band could not certify
         # (exact or straddling ties — rare).
         if self._fallback is None:

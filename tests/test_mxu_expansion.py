@@ -261,3 +261,24 @@ def test_chunked_dispatch_matches_monolith():
     out_c = eng_c.query(queries)
     np.testing.assert_array_equal(out_m, out_c)
     assert recall_at_1(out_c, queries, refs) == 1.0
+
+def test_drain_bucket_overflow_stays_exact():
+    """More uncertified rows than the drain's static maxbad bucket: the
+    overflow rows must come back sign-encoded (negative) from
+    _expansion_drain and be re-answered exactly by the tier-2 full scan.
+    512 exact-duplicate queries against a 1000-point set all fail the
+    certificate, overflowing the 128-row minimum bucket by 4x."""
+    rng = np.random.default_rng(41)
+    k = 16
+    refs = (rng.random((1000, k)) + 1.0).astype(np.float32)
+    refs[700] = refs[30]  # every query has an exact duplicate pair
+    q = np.repeat(refs[30:31], 512, axis=0).astype(np.float32)
+    eng = MXUExpansion(refs, tile_m=8, tile_n=128)
+    st = eng.stage_queries(q)
+    assert eng._maxbad(512) == 128
+    signed = eng._drain_staged(st)
+    assert (signed < 0).sum() > 128, "flood must overflow the bucket"
+    out = eng.query_staged(st)
+    # both copies are true NNs; the brute-force family tie-break picks 30
+    assert set(np.unique(out)) <= {30, 700}
+    assert recall_at_1(out, q, refs) == 1.0
