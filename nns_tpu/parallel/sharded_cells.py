@@ -109,12 +109,15 @@ class ShardedCellEngine(CellListEngine):
         self.axis = mesh.axis_names[0]
         self.n_dev = int(mesh.devices.size)
         super().__init__(refs, device_place=False, **kwargs)
+        # device_place=False leaves numpy halos; pad + place across the mesh.
+        self._place_halos(self.halo_dm, self.halo_ids)
+
+    def _place_halos(self, halo_dm: np.ndarray, halo_ids: np.ndarray) -> None:
+        """Pad the group axis to a multiple of the mesh size (sentinel-only
+        groups) and shard both halo tensors over it."""
         G = self.D ** 3
         g_pad = -(-G // self.n_dev) * self.n_dev
-        halo_dm = self.halo_dm  # numpy (device_place=False)
-        halo_ids = self.halo_ids
         if g_pad != G:
-            # Pad with sentinel-only groups so the group axis shards evenly.
             pad_dm = np.full((g_pad - G,) + halo_dm.shape[1:], PAD_SENTINEL, np.float32)
             halo_dm = np.concatenate([halo_dm, pad_dm])
             halo_ids = np.concatenate(
@@ -122,17 +125,21 @@ class ShardedCellEngine(CellListEngine):
             )
         self.g_pad = g_pad
         self.g_local = g_pad // self.n_dev
-        shard = NamedSharding(mesh, P(self.axis, None, None))
+        shard = NamedSharding(self.mesh, P(self.axis, None, None))
         self.halo_dm = jax.device_put(jnp.asarray(halo_dm), shard)
         self.halo_ids_dev = jax.device_put(
-            jnp.asarray(halo_ids), NamedSharding(mesh, P(self.axis, None))
+            jnp.asarray(halo_ids), NamedSharding(self.mesh, P(self.axis, None))
         )
         jax.block_until_ready((self.halo_dm, self.halo_ids_dev))
 
-    # The single-chip submit/staged/save surfaces assume unsharded,
-    # unpadded device state; on the sharded engine use query/query_with_flags.
+    # The single-chip staged surface returns a (4, m) packed device array;
+    # the sharded device half returns the gathered winner table instead, so
+    # the packed contract cannot be honored — use query_submit/query_collect.
     def query_staged(self, packed, q_max):  # pragma: no cover - guard
-        raise NotImplementedError("sharded engine: use query()/query_with_flags()")
+        raise NotImplementedError(
+            "sharded engine: use query_submit()/query_collect() "
+            "(or query()/query_with_flags())"
+        )
 
     def query_queue_staged(self, dstack, fstack=None,
                            group_batch: int | None = None):
@@ -169,39 +176,100 @@ class ShardedCellEngine(CellListEngine):
             return tuple(out[wi, :G] for wi in range(w))
         return out[:, :G].reshape(w, -1)
 
-    def query_submit(self, queries):  # pragma: no cover - guard
-        raise NotImplementedError("sharded engine: use query()/query_with_flags()")
-
-    def save(self, path):  # pragma: no cover - guard
-        raise NotImplementedError(
-            "sharded engine state is placement-specific; build from refs "
-            "(or save a single-chip CellListEngine)"
-        )
-
-    def query_with_flags(self, queries: np.ndarray):
+    def query_submit(self, queries):
+        """Asynchronous half, sharded form: host bucketing + ONE sharded
+        dispatch (scan + all-gather). The returned token holds the
+        still-in-flight gathered (G_pad, q_max) winner table; a serving
+        loop can pipeline the next batch's host staging against it, same
+        as the single-chip submit/collect protocol (cell_list.py:749)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         packed_np, order, q_max = self.stage(q)
         if packed_np is None:
             # Too-skewed batch: nothing certified; caller's fallback rescans.
-            m = q.shape[0]
-            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
+            return (None, None, order, len(order), None)
         fn = _build_scan(
             self.mesh, self.axis, self.g_local, q_max,
             float(self.halo) ** 2, _interpret(),
         )
-        gathered = np.asarray(fn(jnp.asarray(packed_np), self.halo_dm, self.halo_ids_dev))
+        gathered = fn(jnp.asarray(packed_np), self.halo_dm, self.halo_ids_dev)
+        risk = self._sentinel_risk(q)
+        return (gathered, packed_np, order, q.shape[0], risk)
+
+    def query_collect(self, token):
+        gathered, packed_np, order, m, risk = token
+        if gathered is None:
+            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
+        gathered = np.asarray(gathered)  # the single round-trip
         sid_s = packed_np[:, 3].astype(np.int64)
         pos = packed_np[:, 4].astype(np.int64)
         idx_s = gathered[sid_s, pos]
-        m = q.shape[0]
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)
         idx = idx_s[inv]
         ok = idx >= 0
-        risk = self._sentinel_risk(q)
         if risk is not None:
             ok &= ~risk  # sentinel-corner proximity: force the exact path
         return idx.astype(np.int32), ok
+
+    def query_collect_dist(self, token):  # pragma: no cover - guard
+        # The sharded winner table carries sign-encoded ids only (the
+        # gather payload stays O(G*QM) i32); there is no per-query d2 to
+        # return. Certified rows are exact, so callers needing distances
+        # can compute ||q - refs[idx]||^2 directly.
+        raise NotImplementedError(
+            "sharded engine: winner table has no distances; compute "
+            "||q - refs[idx]||^2 from query_collect's ids"
+        )
+
+    def query_with_flags(self, queries: np.ndarray):
+        return self.query_collect(self.query_submit(queries))
+
+    # -- persistence (checkpoint subsystem, SURVEY.md §5) ------------------
+
+    def save(self, path: str) -> None:
+        """Placement-free checkpoint: fetches the logical (unpadded) halo
+        tensors back from the mesh and writes the single-chip npz format,
+        so one artifact restores as either engine —
+        ``CellListEngine.load(path)`` (single chip) or
+        ``ShardedCellEngine.load(path, mesh)`` (any mesh size; placement
+        is re-derived, not serialized)."""
+        G = self.D ** 3
+        halo_dm = np.asarray(self.halo_dm)[:G]
+        np.savez_compressed(
+            path,
+            refs=self.refs,
+            halo_pts=np.swapaxes(halo_dm, 1, 2),
+            halo_ids=self.halo_ids[:G],
+            meta=np.array([self.D, self.R_max], dtype=np.int64),
+            geo=np.concatenate([self.mn, self.W, [self.halo]]).astype(np.float64),
+        )
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh | None = None) -> "ShardedCellEngine":
+        """Restore from a single-chip-format npz onto a mesh (padding and
+        placement are recomputed for THIS mesh's size, so a checkpoint
+        written at D=4 restores cleanly at D=8)."""
+        from nns_tpu.parallel.mesh import make_mesh
+
+        if mesh is None:
+            mesh = make_mesh()
+        with np.load(path) as z:
+            eng = cls.__new__(cls)
+            eng.mesh = mesh
+            eng.axis = mesh.axis_names[0]
+            eng.n_dev = int(mesh.devices.size)
+            eng.refs = z["refs"]
+            eng.n = eng.refs.shape[0]
+            eng.D, eng.R_max = (int(v) for v in z["meta"])
+            geo = z["geo"]
+            eng.mn, eng.W, eng.halo = geo[0:3], geo[3:6], float(geo[6])
+            halo_pts = z["halo_pts"]
+            eng.halo_ids = z["halo_ids"]
+            eng.avg_candidates = float(
+                (halo_pts[..., 0] < PAD_SENTINEL).sum() / eng.D ** 3
+            )
+            eng._place_halos(np.swapaxes(halo_pts, 1, 2), eng.halo_ids)
+            return eng
 
 
 def nns_sharded_cells(queries, refs, mesh: Mesh | None = None) -> np.ndarray:

@@ -93,3 +93,47 @@ def test_sharded_queue_drain_matches_per_batch():
     for qb, idx in zip(queue, out2):
         np.testing.assert_array_equal(idx, eng.query(qb))
         assert_exact(idx, qb, r)
+
+
+def test_sharded_submit_collect_pipeline():
+    # Two tokens in flight (host staging of batch 2 overlaps batch 1's
+    # device scan) must agree with the synchronous path and stay exact.
+    rng = np.random.default_rng(60)
+    r = rng.random((16384, 3), dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(8))
+    q1 = rng.random((300, 3), dtype=np.float32)
+    q2 = rng.random((300, 3), dtype=np.float32)
+    t1 = eng.query_submit(q1)
+    t2 = eng.query_submit(q2)
+    idx1, ok1 = eng.query_collect(t1)
+    idx2, ok2 = eng.query_collect(t2)
+    ref1, rok1 = eng.query_with_flags(q1)
+    np.testing.assert_array_equal(idx1, ref1)
+    np.testing.assert_array_equal(ok1, rok1)
+    assert_exact(idx1[ok1], q1[ok1], r)
+    assert_exact(idx2[ok2], q2[ok2], r)
+    # Skewed batch: submit returns a no-certificate token, collect is all-bad.
+    qs = (rng.random((2100, 3), dtype=np.float32) * 1e-4).astype(np.float32)
+    ts = eng.query_submit(qs)
+    _, oks = eng.query_collect(ts)
+    assert not oks.any()
+
+
+def test_sharded_save_load_roundtrip(tmp_path):
+    # The sharded checkpoint is placement-free: it restores onto a
+    # DIFFERENT mesh size and as a single-chip engine, bit-identically.
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(61)
+    r = rng.random((16384, 3), dtype=np.float32)
+    q = rng.random((256, 3), dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(4))
+    want = eng.query(q)
+    p = str(tmp_path / "cells.npz")
+    eng.save(p)
+    re8 = ShardedCellEngine.load(p, make_mesh(8))
+    assert re8.g_pad % 8 == 0
+    np.testing.assert_array_equal(re8.query(q), want)
+    single = CellListEngine.load(p)
+    np.testing.assert_array_equal(single.query(q), want)
+    assert_exact(want, q, r)
