@@ -137,3 +137,24 @@ def test_sharded_save_load_roundtrip(tmp_path):
     single = CellListEngine.load(p)
     np.testing.assert_array_equal(single.query(q), want)
     assert_exact(want, q, r)
+
+
+def test_sharded_query_topk_inherited_exact():
+    # query_topk is inherited from the single-chip engine: the jitted
+    # device path consumes the mesh-sharded halo tensors through GSPMD
+    # (XLA inserts the gather), and the padded sentinel groups past G are
+    # never indexed (the dense scatter and grid are sized by G = D^3).
+    # Pin exactness on a padded mesh (G=27, g_pad=32).
+    rng = np.random.default_rng(62)
+    r = rng.random((16384, 3), dtype=np.float32)
+    q = rng.random((64, 3), dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(8), d_per_dim=3)
+    assert eng.g_pad != eng.D ** 3
+    d2, idx = eng.query_topk(q, 4)
+    dd = ((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2).sum(-1)
+    np.testing.assert_allclose(
+        np.sort(d2, axis=1), np.sort(dd, axis=1)[:, :4], rtol=1e-5, atol=1e-7
+    )
+    rows = np.arange(q.shape[0])[:, None]
+    got = dd[rows, idx]
+    np.testing.assert_allclose(np.sort(got, 1), np.sort(dd, 1)[:, :4], rtol=1e-5, atol=1e-7)
