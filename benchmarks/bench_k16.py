@@ -28,7 +28,10 @@ N_REFS = int(os.environ.get("NNS_BENCH_N", str(1 << 20)))
 N_QUERIES = int(os.environ.get("NNS_BENCH_M", str(10_000)))
 K = 16
 SEED = 1000
-W = int(os.environ.get("NNS_BENCH_K16_W", "32"))
+# Backlog width: the 35 ms tunnel fetch floor amortizes over W, with the
+# knee at 64 (real-chip sweep, round 4: 21.2 ms/batch @32, 20.5 @64,
+# 20.1 @128 with a wider p50-max spread and 2x the staged memory).
+W = int(os.environ.get("NNS_BENCH_K16_W", "64"))
 MIN_TRIALS = 6
 MAX_TRIALS = 48
 PATIENCE = 6
