@@ -211,15 +211,28 @@ class ShardedCellEngine(CellListEngine):
             ok &= ~risk  # sentinel-corner proximity: force the exact path
         return idx.astype(np.int32), ok
 
-    def query_collect_dist(self, token):  # pragma: no cover - guard
-        # The sharded winner table carries sign-encoded ids only (the
-        # gather payload stays O(G*QM) i32); there is no per-query d2 to
-        # return. Certified rows are exact, so callers needing distances
-        # can compute ||q - refs[idx]||^2 directly.
-        raise NotImplementedError(
-            "sharded engine: winner table has no distances; compute "
-            "||q - refs[idx]||^2 from query_collect's ids"
-        )
+    def query_collect_dist(self, token):
+        """(idx, certified, best_d2), sharded form — same triple as the
+        single-chip contract (cell_list.py:766). The gather payload carries
+        sign-encoded ids only (keeping the collective at O(G*QM) i32), so
+        d2 is recomputed HOST-side from the decoded winning candidate:
+        exact for certified rows (the winner IS the nearest neighbor) and
+        a sound upper bound on the true NN distance for uncertified ones
+        (any ||q - refs[j]||^2 upper-bounds the minimum — including the
+        empty-halo case, where the single-chip kernel reports inf but the
+        decoded id-0 distance is the stronger finite bound). idx is the
+        decoded candidate id (never sign-encoded), matching single chip."""
+        gathered, packed_np, order, m, risk = token
+        idx, ok = self.query_collect(token)
+        if gathered is None:
+            return idx, ok, np.full(m, np.inf, dtype=np.float32)
+        inv = np.empty(m, dtype=np.int64)
+        inv[order] = np.arange(m)
+        q = packed_np[inv, :3].astype(np.float32)
+        cand = np.where(idx >= 0, idx.astype(np.int64), -idx.astype(np.int64) - 1)
+        diff = q - self.refs[cand]
+        d2 = np.einsum("ij,ij->i", diff, diff).astype(np.float32)
+        return cand.astype(np.int32), ok, d2
 
     def query_with_flags(self, queries: np.ndarray):
         return self.query_collect(self.query_submit(queries))

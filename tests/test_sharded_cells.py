@@ -158,3 +158,36 @@ def test_sharded_query_topk_inherited_exact():
     rows = np.arange(q.shape[0])[:, None]
     got = dd[rows, idx]
     np.testing.assert_allclose(np.sort(got, 1), np.sort(dd, 1)[:, :4], rtol=1e-5, atol=1e-7)
+
+
+def test_sharded_collect_dist_matches_single_chip():
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    q, r = make_dataset(3, 128, 16384, seed=11)
+    s_idx, s_ok, s_d2 = CellListEngine(r).query_with_flags_dist(q)
+    m_idx, m_ok, m_d2 = ShardedCellEngine(r, make_mesh(8)).query_with_flags_dist(q)
+    s_ok, s_idx, s_d2 = np.asarray(s_ok), np.asarray(s_idx), np.asarray(s_d2)
+    np.testing.assert_array_equal(s_ok, m_ok)
+    np.testing.assert_array_equal(s_idx[s_ok], m_idx[s_ok])
+    np.testing.assert_allclose(m_d2[s_ok], s_d2[s_ok], rtol=1e-5)
+    # Every sharded d2 — certified or not — upper-bounds the true NN
+    # distance (it is the f32 distance to a real reference point).
+    d_true = (
+        ((q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2)
+        .sum(-1)
+        .min(1)
+    )
+    assert (m_d2.astype(np.float64) >= d_true - 1e-7).all()
+
+
+def test_sharded_collect_dist_uncertified_rows():
+    # Far-out-of-box query: uncertified, but d2 must still bound the truth
+    # and idx must come back decoded (never sign-encoded).
+    _, r = make_dataset(3, 1, 8192, seed=4)
+    r = r * np.float32(0.1)
+    q = np.array([[0.9, 0.9, 0.9]], dtype=np.float32)
+    idx, ok, d2 = ShardedCellEngine(r, make_mesh(4)).query_with_flags_dist(q)
+    assert not ok.all()
+    assert (idx >= 0).all()
+    d_true = ((q.astype(np.float64) - r.astype(np.float64)) ** 2).sum(-1).min()
+    assert d2[0] >= d_true - 1e-9
