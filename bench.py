@@ -339,8 +339,10 @@ def main() -> int:
         f"{full_best:.2f} ms/batch -> {N_QUERIES/full_best*1e3:,.0f} qps"
     )
     # Answers of every drained batch must match the per-batch path (the
-    # queue result is the serving answer, not a timing artifact).
-    b = min(5, W - 1)  # a mid-queue batch
+    # queue result is the serving answer, not a timing artifact). The
+    # checked batch is drawn fresh each run so no fixed position can
+    # mask a positional staging bug (VERDICT r4 weak #5).
+    b = int(np.random.default_rng().integers(W))
     idx_b, ok_b = engine.unscatter_queue(
         full_np[offs[b]:offs[b + 1]], fslots[b], orders[b])
     chk, okc = engine.query_with_flags(batches[b])

@@ -318,12 +318,13 @@ class NNEngine:
                             # partition over the mesh; the canonical
                             # queue drain and query/query_many surfaces
                             # are inherited, so the serving protocol is
-                            # the same engine, sharded. Trade-offs:
-                            # save() raises (placement-specific state)
-                            # and the beam/brute adaptation ladder stays
-                            # off (its indices are single-chip; the
-                            # exact fallback still answers uncovered
-                            # queries).
+                            # the same engine, sharded — including
+                            # placement-free save/load (one npz restores
+                            # single-chip or onto any mesh size,
+                            # sharded_cells.py). Trade-off: the
+                            # beam/brute adaptation ladder stays off
+                            # (its indices are single-chip; the exact
+                            # fallback still answers uncovered queries).
                             from nns_tpu.parallel.mesh import make_mesh
                             from nns_tpu.parallel.sharded_cells import (
                                 ShardedCellEngine,
@@ -482,10 +483,11 @@ class NNEngine:
                     f"refs k={self._refs.shape[1]}"
                 )
             _check_finite(b, "queries")
-        if (
-            isinstance(self._built, CellListEngine)
-            and len({b.shape for b in batches}) == 1
-        ):
+        # The supercell queue drain is natively RAGGED (per-batch pow2
+        # q_max staging + per-tier canonical sub-drains), so mixed-m /
+        # mixed-shape queues keep the ~0.3 ms/batch drain instead of
+        # degrading to ~35 ms/batch per-call fetches (VERDICT r4 #6).
+        if isinstance(self._built, CellListEngine):
             results, covs = self._built.query_queue(batches, return_coverage=True)
             # The serving path feeds the same promotion hysteresis as
             # query(): per-batch coverage accumulates, and a sustained miss

@@ -220,8 +220,11 @@ def _query_body(packed_in, halo_dm, halo_ids, halo2,
     # sound for n < 2^35 — in practice HBM-bound long before that); a plain
     # astype corrupts ids >= 2^24 and a bitcast makes small ids denormal
     # (TPU flushes them to zero in transit). Same scheme as the top-k path.
-    # best_d2 upper-bounds the true NN distance whenever the halo set was
-    # nonempty (inf otherwise) — adaptive consumers size structures from it.
+    # best_d2 is the kernel's f32 min over the halo candidates: it tracks
+    # the true NN distance only to f32 rounding (~1 ulp can land BELOW the
+    # f64 truth), and is inf when the halo set was empty — adaptive
+    # consumers size structures from it, widening by that band if they
+    # need a sound upper bound.
     idx_hi = (idx >> 12).astype(jnp.float32)
     idx_lo = (idx & 0xFFF).astype(jnp.float32)
     return jnp.stack([idx_hi, idx_lo, ok.astype(jnp.float32), d2])
@@ -787,8 +790,12 @@ class CellListEngine:
         return self.query_collect(self.query_submit(queries))
 
     def query_with_flags_dist(self, queries: np.ndarray):
-        """(idx, certified, best_d2): best_d2 upper-bounds each query's true
-        NN distance whenever its halo set was nonempty (inf otherwise)."""
+        """(idx, certified, best_d2): best_d2 is the kernel's f32 min over
+        the halo candidates — it tracks the true NN distance only to f32
+        rounding (can land ~1 ulp, ~1e-7 relative, BELOW the f64 truth),
+        and is inf when the halo set was empty. Consumers needing a sound
+        upper bound must widen by that band (or recompute in f64 as the
+        sharded engine does, sharded_cells.py query_collect_dist)."""
         return self.query_collect_dist(self.query_submit(queries))
 
     def query_with_coverage(self, queries: np.ndarray) -> tuple[np.ndarray, float]:

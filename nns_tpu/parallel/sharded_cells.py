@@ -28,7 +28,7 @@ from nns_tpu.kernels.layouts import PAD_SENTINEL
 from nns_tpu.kernels.pallas_fused import _interpret
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=128)
 def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
                 halo2: float, interpret: bool):
     def local(packed, halo_dm_l, halo_ids_l):
@@ -60,7 +60,13 @@ def _build_scan(mesh: Mesh, axis: str, g_local: int, q_max: int,
     )
 
 
-@functools.lru_cache(maxsize=32)
+# maxsize must exceed the canonical drain's full program universe per
+# engine geometry — q_max tiers (<= 9 pow2 values) x _CHUNK_LADDER (5
+# chunk widths) = 45 keys — with headroom for a second live geometry.
+# At 32 a steady-state mixed workload could evict compiled executables
+# and re-trace minutes-long mesh programs mid-serving (VERDICT r4 #6);
+# test_sharded_queue_drain_bounds_traces pins the bound.
+@functools.lru_cache(maxsize=128)
 def _build_scan_queue(mesh: Mesh, axis: str, g_local: int, q_max: int,
                       w: int, halo2: float, interpret: bool):
     """W staged batches drained in ONE sharded program: each chip slices
@@ -195,43 +201,54 @@ class ShardedCellEngine(CellListEngine):
         risk = self._sentinel_risk(q)
         return (gathered, packed_np, order, q.shape[0], risk)
 
-    def query_collect(self, token):
+    def _unscatter(self, token):
+        """Decode the gathered winner table back into query order. Returns
+        (idx_raw, ok, inv): idx_raw is the per-query winner, sign-encoded
+        (-id-1) for uncertified rows; inv is the order->query permutation,
+        shared by both collect forms so it is computed once per token."""
         gathered, packed_np, order, m, risk = token
-        if gathered is None:
-            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
         gathered = np.asarray(gathered)  # the single round-trip
         sid_s = packed_np[:, 3].astype(np.int64)
         pos = packed_np[:, 4].astype(np.int64)
-        idx_s = gathered[sid_s, pos]
         inv = np.empty(m, dtype=np.int64)
         inv[order] = np.arange(m)
-        idx = idx_s[inv]
+        idx = gathered[sid_s, pos][inv]
         ok = idx >= 0
         if risk is not None:
             ok &= ~risk  # sentinel-corner proximity: force the exact path
+        return idx, ok, inv
+
+    def query_collect(self, token):
+        if token[0] is None:
+            m = token[3]
+            return np.zeros(m, dtype=np.int32), np.zeros(m, dtype=bool)
+        idx, ok, _ = self._unscatter(token)
         return idx.astype(np.int32), ok
 
     def query_collect_dist(self, token):
         """(idx, certified, best_d2), sharded form — same triple as the
         single-chip contract (cell_list.py:766). The gather payload carries
         sign-encoded ids only (keeping the collective at O(G*QM) i32), so
-        d2 is recomputed HOST-side from the decoded winning candidate:
-        exact for certified rows (the winner IS the nearest neighbor) and
-        a sound upper bound on the true NN distance for uncertified ones
-        (any ||q - refs[j]||^2 upper-bounds the minimum — including the
-        empty-halo case, where the single-chip kernel reports inf but the
-        decoded id-0 distance is the stronger finite bound). idx is the
-        decoded candidate id (never sign-encoded), matching single chip."""
+        d2 is recomputed HOST-side, in float64, from the decoded winning
+        candidate: for certified rows it equals the true NN distance of the
+        f32 inputs up to f64 rounding (exact in practice — f64 rounding of
+        a 3-term f32 sum is ~1e-16 relative), and for uncertified rows it
+        is a sound upper bound on the true NN distance (any
+        ||q - refs[j]||^2 upper-bounds the minimum; computing it in f64
+        keeps the bound literally true — an f32 recompute can round ~1 ulp
+        BELOW the truth). Divergence from single chip: on an empty-halo row
+        the single-chip kernel reports inf while this path returns the
+        finite (stronger) f64 distance to the decoded id-0 candidate. idx
+        is the decoded candidate id (never sign-encoded)."""
         gathered, packed_np, order, m, risk = token
-        idx, ok = self.query_collect(token)
         if gathered is None:
-            return idx, ok, np.full(m, np.inf, dtype=np.float32)
-        inv = np.empty(m, dtype=np.int64)
-        inv[order] = np.arange(m)
-        q = packed_np[inv, :3].astype(np.float32)
-        cand = np.where(idx >= 0, idx.astype(np.int64), -idx.astype(np.int64) - 1)
-        diff = q - self.refs[cand]
-        d2 = np.einsum("ij,ij->i", diff, diff).astype(np.float32)
+            idx, ok = self.query_collect(token)
+            return idx, ok, np.full(m, np.inf, dtype=np.float64)
+        idx_raw, ok, inv = self._unscatter(token)
+        q = packed_np[inv, :3].astype(np.float64)
+        cand = np.where(idx_raw >= 0, idx_raw, -idx_raw - 1)
+        diff = q - self.refs[cand].astype(np.float64)
+        d2 = np.einsum("ij,ij->i", diff, diff)
         return cand.astype(np.int32), ok, d2
 
     def query_with_flags(self, queries: np.ndarray):

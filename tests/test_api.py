@@ -175,6 +175,49 @@ def test_engine_query_many_queue_drain():
         assert_exact(idx, qb, r)
 
 
+def test_engine_query_many_mixed_shapes_one_drain():
+    # A queue with mixed batch sizes AND mixed q_max tiers must still take
+    # the canonical queue drain — ONE query_queue call, zero per-batch
+    # query() fallbacks — with per-batch answers equal to query()
+    # (VERDICT r4 #6: shape uniformity is not part of the serving
+    # contract; the ragged drain handles it natively).
+    from nns_tpu.kernels.cell_list import CellListEngine
+
+    rng = np.random.default_rng(61)
+    r = rng.random((65536, 3), dtype=np.float32)
+    eng = NNEngine(14).build(r)
+    batches = [
+        rng.random((300, 3), dtype=np.float32),
+        rng.random((37, 3), dtype=np.float32),          # odd m
+        (rng.random((120, 3), dtype=np.float32) * 0.02  # skewed: new tier
+         ).astype(np.float32),
+        rng.random((1, 3), dtype=np.float32),           # singleton
+    ]
+    calls = []
+    real_queue = CellListEngine.query_queue
+    real_query = CellListEngine.query
+
+    def spy_queue(self, *a, **k):
+        calls.append("queue")
+        return real_queue(self, *a, **k)
+
+    def spy_query(self, *a, **k):
+        calls.append("per-batch")
+        return real_query(self, *a, **k)
+
+    CellListEngine.query_queue = spy_queue
+    CellListEngine.query = spy_query
+    try:
+        many = eng.query_many(batches)
+    finally:
+        CellListEngine.query_queue = real_queue
+        CellListEngine.query = real_query
+    assert calls == ["queue"], calls
+    for qb, idx in zip(batches, many):
+        np.testing.assert_array_equal(idx, eng.query(qb))
+        assert_exact(idx, qb, r)
+
+
 def test_engine_singleton_misses_do_not_promote():
     # The promotion mirror of the demotion hysteresis test (VERDICT round 2
     # weak #2): occasional 1-query certificate misses interleaved with

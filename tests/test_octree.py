@@ -75,11 +75,26 @@ def test_octree_duplicates_beyond_depth():
     assert_exact(nns_octree_device(q, r), q, r)
 
 
-def test_octree_k_fallback():
-    # k != 3 falls back to the linear scan (core.cu:1641-1644 contract).
+def test_octree_k_fallback(monkeypatch):
+    # k != 3 falls back to an exact full scan (core.cu:1641-1644 /
+    # 1882-1885 contract). The host version keeps the reference-shaped
+    # linear scan; the DEVICE version must route to the staged fused
+    # device kernel — same policy as v11 — not the ~400x slower host loop
+    # (VERDICT r4 weak #3).
     q, r = make_dataset(5, 16, 512, seed=6)
     assert_exact(nns_octree_host(q, r), q, r)
+    import nns_tpu.kernels.pallas_fused as pf
+
+    calls = []
+    real = pf.fused_fallback
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(pf, "fused_fallback", counting)
     assert_exact(nns_octree_device(q, r), q, r)
+    assert calls, "k != 3 device fallback must take the fused device scan"
 
 
 def test_octree_save_load(tmp_path):

@@ -191,3 +191,51 @@ def test_sharded_collect_dist_uncertified_rows():
     assert (idx >= 0).all()
     d_true = ((q.astype(np.float64) - r.astype(np.float64)) ** 2).sum(-1).min()
     assert d2[0] >= d_true - 1e-9
+
+
+def test_sharded_queue_drain_bounds_traces():
+    """Sharded twin of test_query_queue_canonical_drain_bounds_traces
+    (VERDICT r4 #6): the canonical drain's compiled-program universe —
+    q_max tiers x _CHUNK_LADDER, at most 45 keys per engine geometry —
+    must fit _build_scan_queue's cache with headroom, and a mixed-q_max,
+    ladder-crossing queue permuted two ways must mint ZERO new mesh
+    programs on later passes (an LRU eviction here re-traces a
+    minutes-long sharded program mid-serving)."""
+    from nns_tpu.kernels.cell_list import CellListEngine
+    from nns_tpu.parallel.sharded_cells import _build_scan_queue
+
+    ladder = len(CellListEngine._CHUNK_LADDER)
+    assert _build_scan_queue.cache_parameters()["maxsize"] >= 9 * ladder * 2
+
+    rng = np.random.default_rng(77)
+    r = rng.random((8192, 3), dtype=np.float32)
+    eng = ShardedCellEngine(r, make_mesh(4))
+
+    def uni(m=64):
+        return rng.random((m, 3), dtype=np.float32)
+
+    def skew(m=64):
+        return (rng.random((m, 3), dtype=np.float32) * 0.02).astype(np.float32)
+
+    # Warm the sub-8 ladder (8+4+2+1 = 15 batches) for both tiers; later
+    # queues REUSE these pool arrays so no fresh draw can mint a new tier.
+    pool_u = [uni() for _ in range(15)]
+    pool_s = [skew() for _ in range(15)]
+    eng.query_queue(pool_u + pool_s)
+    warm = _build_scan_queue.cache_info().currsize
+
+    queue_a = [pool_u[0], pool_s[0], pool_u[1], pool_u[2], pool_s[1]]
+    res_a = eng.query_queue(queue_a)
+    assert _build_scan_queue.cache_info().currsize == warm
+    # Same multiset, permuted: zero new programs, identical answers.
+    perm = [4, 1, 0, 3, 2]
+    res_b = eng.query_queue([queue_a[i] for i in perm])
+    assert _build_scan_queue.cache_info().currsize == warm
+    for i, j in enumerate(perm):
+        np.testing.assert_array_equal(res_b[i], res_a[j])
+    # A novel per-tier composition: still zero new programs, still exact.
+    queue_c = [pool_u[3], pool_s[2], pool_s[3], pool_u[4], pool_u[5]]
+    res_c = eng.query_queue(queue_c)
+    assert _build_scan_queue.cache_info().currsize == warm
+    for qb, idx in zip(queue_c, res_c):
+        assert_exact(idx, qb, r)
