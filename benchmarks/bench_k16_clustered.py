@@ -1,0 +1,170 @@
+"""k=16 CLUSTERED serving benchmark: exact 1-NN over 1M clustered 16-D
+reference points, W x 10K in-distribution query batches, drained through
+the round-5 high-k adaptation ladder (VERDICT r4 #2).
+
+The v9 MXU full scan is the right engine for UNIFORM high-k data — its
+phase 1 runs at ~88% of the charged-flop MXU roofline (NUMBERS.md) — but
+structured data does not need all 1M distance evaluations. This bench
+measures what the reference built its KD-tree for (core.cu:1059-1163,
+k <= 16 pruning): NNEngine(9) probes the KD beam frontier's certificate
+coverage on live queries, promotes to the pruned beam scan, and the
+drained serving number should beat the uniform MXU drain by the pair-count
+reduction (~beam*cap + extras of 1M points scanned per query).
+
+Protocol mirrors benchmarks/bench_k16.py: seeded data, staging untimed
+(prepare-once), adaptive trial budget with spread logged, recall@1 on
+f64-oracle subsamples, the FULL serving answer inside the timed region
+(base beam drain + 4x retry + exact fallback for uncertified survivors).
+Queries are drawn in-distribution (reference sample + sigma-scale noise) —
+the serving regime where a spatial index is the right tool; the uniform-
+query regime demotes to the MXU scan by design (test_api.py pins both).
+
+Usage (real chip): python benchmarks/bench_k16_clustered.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+N_REFS = int(os.environ.get("NNS_BENCH_N", str(1 << 20)))
+N_QUERIES = int(os.environ.get("NNS_BENCH_M", str(10_000)))
+K = 16
+SEED = 1000
+W = int(os.environ.get("NNS_BENCH_K16_W", "64"))
+MIN_TRIALS = 5
+MAX_TRIALS = 40
+PATIENCE = 5
+TIME_CAP_S = 120.0
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _trials(fn, label: str):
+    times, best, since = [], float("inf"), 0
+    t_start = time.perf_counter()
+    while len(times) < MAX_TRIALS:
+        t0 = time.perf_counter()
+        out = fn()
+        per_batch = (time.perf_counter() - t0) / W
+        times.append(per_batch * 1e3)
+        since = 0 if per_batch < best * 0.995 else since + 1
+        best = min(best, per_batch)
+        if len(times) >= MIN_TRIALS and (
+            since >= PATIENCE or time.perf_counter() - t_start > TIME_CAP_S
+        ):
+            break
+    a = np.asarray(times)
+    log(f"[bench_k16c] {label}: best {a.min():.2f} / p50 "
+        f"{np.percentile(a, 50):.2f} / max {a.max():.2f} ms/batch over "
+        f"{len(a)} trials -> {N_QUERIES / best:,.0f} qps")
+    return best, out
+
+
+def main() -> int:
+    import jax
+
+    from nns_tpu.api import NNEngine
+    from nns_tpu.data import make_dataset
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+    from nns_tpu.kernels.oracle import recall_at_1
+    from nns_tpu.trees.beam import BeamIndex
+
+    log(f"[bench_k16c] backend={jax.default_backend()}")
+    _, refs = make_dataset(K, 1, N_REFS, SEED, clustered=True)
+    rng = np.random.default_rng(SEED + 1)
+
+    def indist(m: int) -> np.ndarray:
+        base = refs[rng.integers(0, N_REFS, size=m)]
+        return (base + rng.normal(0, 0.01, size=base.shape)).astype(np.float32)
+
+    batches = [indist(N_QUERIES) for _ in range(W)]
+    allq = np.concatenate(batches, axis=0)
+
+    # -- baseline: the MXU full scan on the SAME clustered data ------------
+    t0 = time.perf_counter()
+    mxu = MXUExpansion(refs)
+    st_mxu = mxu.stage_queries(allq)
+    mxu.query_staged(st_mxu)  # compile
+    log(f"[bench_k16c] MXU staging+compile: {time.perf_counter()-t0:.1f}s")
+    best_mxu, _ = _trials(lambda: mxu.query_staged(st_mxu),
+                          f"MXU full-scan drain (W={W})")
+    del st_mxu
+
+    # -- the product path: NNEngine(9) probes and promotes -----------------
+    # Graded defaults hold at the full size; smoke-test overrides shrink the
+    # probe thresholds with the workload so promotion still exercises.
+    from nns_tpu.config import EngineConfig
+
+    cfg = EngineConfig(hk_probe_after=min(2048, N_QUERIES),
+                       hk_promote_n_min=min(1 << 17, N_REFS))
+    eng = NNEngine(9, cfg).build(refs)
+    t0 = time.perf_counter()
+    idx_first = eng.query(batches[0])  # crosses hk_probe_after -> promotes
+    t_first = time.perf_counter() - t0
+    assert isinstance(eng._built, BeamIndex), "promotion did not trigger"
+    bi = eng._built
+    log(f"[bench_k16c] first batch answered (MXU) + probe + KD build + "
+        f"beam staging: {t_first:.1f}s; promoted at beam={eng._hk_beam}, "
+        f"F={bi.lo.shape[0]} cap={bi.pts.shape[1]} "
+        f"extras={bi.extras.shape[0]}")
+    sub = np.random.default_rng(0).choice(
+        N_QUERIES, min(512, N_QUERIES), replace=False)
+    assert recall_at_1(idx_first[sub], batches[0][sub], refs) == 1.0
+
+    # -- drained beam serving (staged, full answer in-region) --------------
+    st = bi.stage_queries(allq)
+    results = {}
+    for beam in sorted({eng._hk_beam, 8}):
+        idx_w, cov_w = bi.query_staged_with_coverage(st, beam)  # compile
+        best, (idx_b, cov) = _trials(
+            lambda b=beam: bi.query_staged_with_coverage(st, b),
+            f"beam={beam} drain (W={W}, cov incl. retry)")
+        log(f"[bench_k16c]   coverage={cov:.5f} "
+            f"(pairs/query ~{beam * bi.pts.shape[1] + bi.extras.shape[0]:,} "
+            f"of {N_REFS:,})")
+        # Gates: recall 1.0 on two f64-oracle subsamples + the answers must
+        # be the serving answers (same array the drain returned).
+        r0 = recall_at_1(idx_b[:N_QUERIES][sub], batches[0][sub], refs)
+        b_i = int(np.random.default_rng().integers(W))
+        lo_i = b_i * N_QUERIES
+        r1 = recall_at_1(idx_b[lo_i:lo_i + N_QUERIES][sub],
+                         batches[b_i][sub], refs)
+        log(f"[bench_k16c]   recall@1 (batch 0 / batch {b_i}, 512-query f64 "
+            f"oracle subsamples): {r0} / {r1}")
+        results[beam] = (best, cov, r0 == 1.0 and r1 == 1.0)
+    del cov_w, idx_w
+
+    beam_best, (best, cov, gates) = min(
+        results.items(), key=lambda kv: kv[1][0])
+    qps = N_QUERIES / best
+    log(f"[bench_k16c] best: beam={beam_best} {best*1e3:.2f} ms/batch -> "
+        f"{qps:,.0f} qps = {best_mxu/best:.1f}x the MXU full scan on the "
+        f"same data ({best_mxu*1e3:.2f} ms/batch)")
+
+    value = qps if gates else 0.0
+    metric = "exact_1nn_qps_1M_refs_10k_queries_k16_clustered_1chip"
+    if (N_REFS, N_QUERIES) != (1 << 20, 10_000):  # smoke-test override
+        metric = (f"exact_1nn_qps_{N_REFS}_refs_{N_QUERIES}"
+                  f"_queries_k16_clustered_1chip")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "queries/sec",
+        "vs_mxu_fullscan": round(best_mxu / best, 2),
+        "coverage": round(cov, 5),
+        "beam": beam_best,
+    }))
+    return 0 if gates else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

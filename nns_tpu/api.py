@@ -250,6 +250,12 @@ class NNEngine:
         self._refs: np.ndarray | None = None
         self._cov_miss = 0
         self._cov_seen = 0
+        # High-k (v9) adaptation state — see _query_high_k.
+        self._hk_seen = 0
+        self._hk_probed = False
+        self._hk_beam = 8
+        self._hk_mxu: Any = None
+        self._hk_recent: np.ndarray | None = None
 
     def _note_coverage(self, cov: float, m: int, good_cov: float,
                        miss_frac: float) -> bool:
@@ -280,24 +286,126 @@ class NNEngine:
             self._refs, max_depth=self.config.octree_max_depth
         ).device_index()
 
+    # -- high-k (v9) adaptation ladder (VERDICT r4 #2) ----------------------
+
+    def _hk_fallback(self, q_bad: np.ndarray) -> np.ndarray:
+        """Exact re-answer of beam-uncertified rows by the retained MXU
+        engine, pow2-shape-bucketed so a varying tail size cannot mint a
+        fresh drain compile per call (the same bucketing MXUExpansion's own
+        tier-2 uses)."""
+        from nns_tpu.kernels.layouts import pow2_at_least
+
+        nb = len(q_bad)
+        bucket = pow2_at_least(max(nb, 8))
+        if bucket != nb:
+            q_bad = np.pad(q_bad, ((0, bucket - nb), (0, 0)))
+        return self._hk_mxu.query(q_bad)[:nb]
+
+    def _query_high_k(self, queries: np.ndarray) -> np.ndarray:
+        """v9 serving path with the workload-adaptation ladder the 3-D
+        flagship already has, one abstraction level up (VERDICT r4 #2): the
+        MXU full scan is the right engine for UNIFORM high-k data (its
+        phase 1 runs at ~88% of the charged-flop MXU roofline — NUMBERS.md),
+        but on structured/clustered data a KD beam-frontier index prunes the
+        scanned set 10-100x at any k (beam.py is k-generic). After enough
+        query volume, probe the beam's certificate coverage on live queries
+        and promote when it prunes well; sustained coverage misses demote
+        back to the retained MXU engine (NOT the fused scan — MXU is
+        strictly faster at k >= 8). Exactness is unconditional on every
+        rung: beam-uncertified rows are re-answered by the MXU engine,
+        whose own uncertified rows take the exact fused scan."""
+        from nns_tpu.trees.beam import BeamIndex
+
+        if isinstance(self._built, BeamIndex):
+            idx, cov = self._built.query_with_coverage(
+                queries, beam=self._hk_beam
+            )
+            if self._note_coverage(
+                cov, queries.shape[0], good_cov=0.5, miss_frac=0.7
+            ):
+                from nns_tpu.kernels.mxu_expansion import MXUExpansion
+
+                self._built = self._hk_mxu or MXUExpansion(self._refs)
+            return _as_idx(idx)
+        idx = _as_idx(self._built.query(queries))
+        self._maybe_promote_high_k(queries)
+        return idx
+
+    def _maybe_promote_high_k(self, queries: np.ndarray) -> None:
+        """One-time probe: build the KD beam index and measure its
+        certificate coverage on the most recent live queries, exactly as the
+        serving path would run it (base beam pass + 4x retry of the
+        uncertified tail). High coverage promotes — preferring beam=4 when
+        it already covers (half the bucket-gather traffic of 8); low
+        coverage keeps the MXU scan and closes the avenue for this engine
+        (uniform high-k data genuinely needs the full scan — measured
+        coverage 0.0015 at 16-D uniform vs 1.0 clustered in-distribution).
+        The probe is deferred behind hk_probe_after queries so one-shot
+        callers never pay the index build stall (~1-3 s at 1M x 16)."""
+        cfg = self.config
+        if (
+            self._hk_probed
+            or self._refs.shape[0] < cfg.hk_promote_n_min
+            or self._refs.shape[1] > cfg.kd_max_k
+        ):
+            return
+        self._hk_seen += queries.shape[0]
+        # Rolling probe buffer: the most recent <= 512 live queries, so a
+        # tiny triggering batch (down to a single query) still probes on a
+        # representative window of the workload.
+        recent = queries[-512:]
+        if self._hk_recent is not None and len(recent) < 512:
+            recent = np.concatenate(
+                [self._hk_recent[-(512 - len(recent)):], recent], axis=0
+            )
+        self._hk_recent = recent
+        if self._hk_seen < cfg.hk_probe_after:
+            return
+        self._hk_probed = True  # probe once per built engine
+        self._hk_recent = None  # buffer served its purpose
+        from nns_tpu.trees.kdtree import KDTree
+
+        bi = KDTree.build(self._refs).device_index()
+        probe = recent
+        for beam in (4, 8):
+            _, ok = bi.query_with_flags(probe, beam=beam)
+            bad = np.flatnonzero(~ok)
+            if len(bad) and bi.lo.shape[0] > 4 * beam:
+                _, ro = bi.query_with_flags(probe[bad], beam=beam * 4)
+                ok[bad] = ro
+            if float(ok.mean()) >= cfg.hk_promote_cov:
+                self._hk_mxu = self._built
+                bi.exact_fallback = self._hk_fallback
+                self._hk_beam = beam
+                self._built = bi
+                return
+
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
         _check_finite(refs, "refs")
         self._refs = refs
         self._cov_miss = 0  # fresh index: forget prior coverage history
         self._cov_seen = 0
+        self._hk_seen = 0   # fresh index: re-arm the high-k probe
+        self._hk_probed = False
+        self._hk_beam = 8
+        self._hk_mxu = None
+        self._hk_recent = None
         if self._auto:
             import jax
 
             # Build/query semantics amortize index construction: prefer the
             # supercell flagship for large 3-D sets (its build shards over
             # the mesh on multi-device runtimes — round 4), the sharded
-            # brute force for other shapes across several chips, else the
-            # fused kernel.
+            # brute force for other shapes across several chips, the MXU
+            # expansion engine (with its KD-beam promotion ladder, round 5)
+            # for high-k single-chip sets, else the fused kernel.
             if refs.shape[1] == 3 and refs.shape[0] >= 65536:
                 self.spec = get_version(14)
             elif len(jax.devices()) > 1:
                 self.spec = get_version(8)
+            elif refs.shape[1] >= 8:
+                self.spec = get_version(9)
             else:
                 self.spec = get_version(4)
         if self.spec.family == "tree":
@@ -382,10 +490,16 @@ class NNEngine:
             )
         elif self.spec.num == 9 and refs.shape[1] >= 8:
             # v9's split-bf16 staging (triple split + transpose + device
-            # placement) is the expensive half — prepare it once.
+            # placement) is the expensive half — prepare it once. Sets past
+            # the engine's HBM staging bound (n >= 2^25) degrade ONCE at
+            # build time to the staged fused engine (SURVEY.md §5 contract).
             from nns_tpu.kernels.mxu_expansion import MXUExpansion
+            from nns_tpu.kernels.pallas_fused import FusedBruteForce
 
-            self._built = MXUExpansion(refs)
+            try:
+                self._built = MXUExpansion(refs)
+            except ValueError:
+                self._built = FusedBruteForce(refs)
         else:
             import jax
 
@@ -404,6 +518,8 @@ class NNEngine:
             )
         _check_finite(queries, "queries")
         if self.spec.num in (4, 9) and self._built is not None:
+            if self.spec.num == 9:
+                return self._query_high_k(queries)
             return _as_idx(self._built.query(queries))
         if self.spec.family == "tree" and self._built is not None:
             if self.spec.num == 14:

@@ -85,6 +85,18 @@ class EngineConfig:
     # Whole-query-set-in-VMEM variant (v6 constant-memory analog) falls back
     # when m * k_padded * 4 bytes exceeds this budget.
     vmem_query_budget_bytes: int = 4 * 1024 * 1024
+    # High-k workload adaptation (8 <= k <= kd_max_k): once a v9 MXU-
+    # expansion engine has answered hk_probe_after queries over at least
+    # hk_promote_n_min reference points, it builds a KD beam-frontier index
+    # and probes its certificate coverage on live queries; coverage >=
+    # hk_promote_cov promotes the serving path to the pruned beam scan
+    # (uncertified rows fall back to the retained MXU engine — exactness is
+    # unconditional), and the standard hysteresis demotes back on sustained
+    # misses. The reference built its KD-tree precisely for k <= 16 pruning
+    # (core.cu:1059-1163); this is that capability, workload-gated.
+    hk_probe_after: int = 2048
+    hk_promote_cov: float = 0.9
+    hk_promote_n_min: int = 1 << 17
 
 
 DEFAULT_ENGINE_CONFIG = EngineConfig()

@@ -323,12 +323,15 @@ def _expansion_query(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("kp", "tile_m", "tile_n", "ts", "maxbad", "interpret"),
+    static_argnames=(
+        "kp", "tile_m", "tile_n", "ts", "maxbad", "maxbad2", "interpret"
+    ),
 )
 def _expansion_drain(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
-                     ts, maxbad, interpret):
+                     ts, maxbad, maxbad2, interpret):
     """The serving-drain program: _phase12 + IN-PROGRAM tier-1 band refine
-    + sign-encoded single-int32 output — one dispatch, one (m,) i32 fetch.
+    + IN-PROGRAM tier-2 full scan + sign-encoded single-int32 output —
+    one dispatch, one (m,) i32 fetch.
 
     Round-4 drain economics (the round-3 form fetched a (4, m) f32 packed
     array and ran the band refine as a separate host round trip): through
@@ -342,12 +345,19 @@ def _expansion_drain(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
     - the band-limited top-2-tile direct-f32 rescan (_band_refine_rows,
       soundness in its docstring) runs inside the same program under a
       ``lax.cond`` — a fully-certified batch pays nothing,
+    - rows the band refine REFUSES (straddling ties, ~70 per 640K-row
+      k=16 drain) are compacted again into a ``maxbad2`` bucket and
+      full-scanned IN-PROGRAM (_full_scan_rows: direct f32 over every
+      reference point, lowest-index tie-break — exact by construction,
+      no certificate needed). Round 5: this tier-2 fold removes the last
+      per-drain host round trip (~1.1 ms/batch of the 21.2 at W=32 —
+      upload + dispatch + a second 35 ms-floor fetch), leaving the host
+      fallback only for bucket-overflow floods,
     - results scatter back (drop-mode, pad slots aimed out of range) and
-      the output is ONE int32 per row: ``idx`` where the answer is
-      certified final, ``-idx - 1`` where the host must re-answer by the
-      exact full scan (refine-refused straddling ties, or bad rows beyond
-      the ``maxbad`` bucket — both sound: negative rows are always
-      re-answered).
+      the output is ONE int32 per row: ``idx`` where the answer is final,
+      ``-idx - 1`` where the host must still re-answer by the exact full
+      scan (bad rows beyond either static bucket — sound: negative rows
+      are always re-answered).
     """
     m = q.shape[0]
     _, idx, cert, tid2, t3v = _phase12(
@@ -356,20 +366,24 @@ def _expansion_drain(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
     signed0 = jnp.where(cert, idx, -idx - 1)
     bad = jnp.logical_not(cert)
     nbad = jnp.sum(bad.astype(jnp.int32))
+    qp = q if kp == q.shape[1] else jnp.pad(
+        q, ((0, 0), (0, kp - q.shape[1]))
+    )
+
+    def _compact(flags, cap):
+        """Device-side compaction: slots of the <= cap rows where flags is
+        True (cumsum positions + drop-mode scatter). Returns (rows (cap,)
+        i32 with m on empty slots, valid (cap,) bool)."""
+        rowid = jnp.arange(m, dtype=jnp.int32)
+        pos = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        slot = jnp.where(flags, pos, cap)
+        rows = jnp.full((cap,), m, dtype=jnp.int32)
+        rows = rows.at[slot].set(rowid, mode="drop")
+        return rows, rows < m
 
     def refine(signed):
-        rowid = jnp.arange(m, dtype=jnp.int32)
-        pos = jnp.cumsum(bad.astype(jnp.int32)) - 1
-        # Bad row b lands in compaction slot pos[b]; rows past the bucket
-        # (and certified rows) aim at slot maxbad and are dropped.
-        slot = jnp.where(bad, pos, maxbad)
-        rows = jnp.full((maxbad,), m, dtype=jnp.int32)
-        rows = rows.at[slot].set(rowid, mode="drop")
-        valid = rows < m
+        rows, valid = _compact(bad, maxbad)
         rsafe = jnp.where(valid, rows, 0)
-        qp = q if kp == q.shape[1] else jnp.pad(
-            q, ((0, 0), (0, kp - q.shape[1]))
-        )
         qb = jnp.take(qp, rsafe, axis=0)                 # (maxbad, kp)
         q2b = jnp.sum(qb * qb, axis=1)
         tile1 = jnp.take(idx, rsafe) // tile_n
@@ -385,7 +399,89 @@ def _expansion_drain(q, rc, r2h, refs_t, r2h_t, delta, kp, tile_m, tile_n,
             jnp.where(rok, ridx, -ridx - 1), mode="drop"
         )
 
-    return jax.lax.cond(nbad > 0, refine, lambda s: s, signed0)
+    signed1 = jax.lax.cond(nbad > 0, refine, lambda s: s, signed0)
+
+    bad2 = signed1 < 0
+    nbad2 = jnp.sum(bad2.astype(jnp.int32))
+
+    def full(signed):
+        rows, valid = _compact(bad2, maxbad2)
+        rsafe = jnp.where(valid, rows, 0)
+        qb = jnp.take(qp, rsafe, axis=0)                 # (maxbad2, kp)
+        fidx = _full_scan_rows(qb, refs_t, r2h_t)
+        back = jnp.where(valid, rows, m)
+        return signed.at[back].set(fidx, mode="drop")
+
+    return jax.lax.cond(nbad2 > 0, full, lambda s: s, signed1)
+
+
+def _full_scan_rows(qb, refs_t, r2h_t):
+    """Tier-2 in-program exact scan: direct f32 (q - r)^2 over EVERY
+    reference point for a small compacted row bucket, lowest-index
+    tie-break — the v0-v9 family contract, exact by construction (it IS
+    the definition of the answer on the f32 inputs; no certificate).
+    Distance-domain padding via r2h_t's +inf half-norms (zero-coordinate
+    padded rows would otherwise win at d2 = |q|^2).
+
+    Cost model: B rows x n points x kp dims of VPU mul-add per TRIGGERED
+    drain — at B=256, n=1M, k=16 that is ~12 GFLOP, ~3-10 ms device,
+    vs the host tier-2 round trip it replaces (upload + dispatch + a
+    second 35 ms-floor fetch per drain). lax.scan over lane-aligned
+    reference chunks keeps the (B, cn) temporaries ~8 MB.
+
+    qb (B, kp) f32 zero-padded; refs_t (n_sub, ts, kp) / r2h_t (n_sub, ts)
+    — the engine's phase-2 staging, re-viewed flat (free reshape).
+    Returns idx (B,) i32.
+    """
+    n_sub, ts_w, kp = refs_t.shape
+    n_pad = n_sub * ts_w
+    b = qb.shape[0]
+    # Chunk width: lane-aligned, bounding the (B, cn) step temporary.
+    cn = min(n_pad, max(_LANE, (1 << 21) // max(b, 1) // _LANE * _LANE))
+    # n_pad is a multiple of tile_n >= cn's alignment; pad defensively.
+    n_c = -(-n_pad // cn)
+    refs_flat = refs_t.reshape(n_pad, kp)
+    r2h_flat = r2h_t.reshape(n_pad)
+    if n_c * cn != n_pad:
+        refs_flat = jnp.pad(refs_flat, ((0, n_c * cn - n_pad), (0, 0)))
+        r2h_flat = jnp.pad(
+            r2h_flat, (0, n_c * cn - n_pad), constant_values=jnp.inf
+        )
+    rch = refs_flat.reshape(n_c, cn, kp)
+    r2ch = r2h_flat.reshape(n_c, cn)
+    base = jnp.arange(n_c, dtype=jnp.int32) * cn
+
+    def body(carry, chunk):
+        bd2, bidx = carry
+        rk, r2k, b0 = chunk
+        # Direct f32, accumulated per-dim to avoid a (B, cn, kp) temp.
+        d2 = jnp.zeros((b, cn), dtype=jnp.float32)
+        for d in range(kp):
+            diff = qb[:, d:d + 1] - rk[None, :, d]
+            d2 = d2 + diff * diff
+        d2 = jnp.where(jnp.isinf(r2k)[None, :], jnp.inf, d2)
+        cmin = jnp.min(d2, axis=1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, d2.shape, 1)
+        carg = jnp.min(
+            jnp.where(d2 == cmin[:, None], cols, cn), axis=1
+        ) + b0
+        # Strict < keeps the earlier chunk's (lower) index on exact ties;
+        # in-chunk carg is already the lowest tied column.
+        better = cmin < bd2
+        return (
+            jnp.where(better, cmin, bd2),
+            jnp.where(better, carg, bidx),
+        ), None
+
+    (_, bidx), _ = jax.lax.scan(
+        body,
+        (
+            jnp.full((b,), jnp.inf, dtype=jnp.float32),
+            jnp.zeros((b,), dtype=jnp.int32),
+        ),
+        (rch, r2ch, base),
+    )
+    return bidx
 
 
 def _band_refine_rows(q_bad, q2_bad, t12, t3, refs_t, r2h_t, delta,
@@ -598,6 +694,15 @@ class MXUExpansion:
         sound on any data, just slower on adversarial tie floods."""
         return min(1 << 14, layouts.pow2_at_least(max(128, m // 40)))
 
+    def _maxbad2(self, m: int) -> int:
+        """Static tier-2 bucket for the in-program full scan of band-
+        refine-refused rows (straddling ties): measured ~70 per 640K-row
+        k=16 drain at 1M-uniform density (NUMBERS.md), sized ~4x that and
+        capped so the always-compiled scan stays ~50 GFLOP worst case.
+        Overflow rows stay sign-encoded for the host full scan — sound on
+        adversarial tie floods, just slower."""
+        return min(1 << 11, layouts.pow2_at_least(max(64, m // 2048)))
+
     def _drain_staged(self, st: "StagedQueries") -> np.ndarray:
         """-> signed (m,) int32: ``idx`` certified-final, ``-idx - 1``
         needs the host full scan. ONE dispatch + ONE 4 B/row fetch —
@@ -615,14 +720,15 @@ class MXUExpansion:
             return np.asarray(_expansion_drain(
                 st.q_dev, self.rc, self.r2h, self.refs_t, self.r2h_t,
                 jnp.float32(st.delta), self.kp, self.tile_m, self.tile_n,
-                self.ts, self._maxbad(m), _interpret(),
+                self.ts, self._maxbad(m), self._maxbad2(m), _interpret(),
             ))
         outs = [
             _expansion_drain(
                 st.q_dev[s : s + cap], self.rc, self.r2h, self.refs_t,
                 self.r2h_t, jnp.float32(st.delta), self.kp, self.tile_m,
                 self.tile_n, self.ts,
-                self._maxbad(min(cap, m - s)), _interpret(),
+                self._maxbad(min(cap, m - s)),
+                self._maxbad2(min(cap, m - s)), _interpret(),
             )
             for s in range(0, m, cap)
         ]
@@ -656,9 +762,10 @@ class MXUExpansion:
     def query_staged(self, st: "StagedQueries"):
         """query() on a pre-staged query set (see stage_queries) — the
         serving drain path: per-request device work only, upload untimed.
-        The drain program already folds the tier-1 band refine in
-        (_expansion_drain); the host only re-answers sign-encoded rows
-        (straddling ties / bucket overflow) by the exact full scan."""
+        The drain program folds BOTH refine tiers in (_expansion_drain:
+        tier-1 band rescan + tier-2 full scan of straddling ties); the
+        host only re-answers sign-encoded rows (static-bucket overflow —
+        adversarial tie floods) by the exact full scan."""
         try:
             signed = self._drain_staged(st)
         except ValueError:

@@ -218,6 +218,89 @@ def test_engine_query_many_mixed_shapes_one_drain():
         assert_exact(idx, qb, r)
 
 
+def _clustered_hk_workload(seed: int = 21, n: int = 8192):
+    """16-D clustered refs + an in-distribution query sampler — the
+    workload where KD-beam pruning beats the MXU full scan (VERDICT r4 #2)."""
+    rng = np.random.default_rng(seed)
+    _, r = make_dataset(16, 1, n, seed=seed, clustered=True)
+
+    def indist(m: int) -> np.ndarray:
+        base = r[rng.integers(0, len(r), size=m)]
+        return (base + rng.normal(0, 0.01, size=base.shape)).astype(np.float32)
+
+    return r, indist, rng
+
+
+_HK_CFG = dict(hk_probe_after=256, hk_promote_n_min=1 << 12)
+
+
+def test_engine_high_k_promotes_to_beam_on_clustered():
+    # The 3-D ladder's signature move — workload-adaptive promotion — one
+    # abstraction level up (VERDICT r4 #2): a v9 engine serving clustered
+    # high-k data probes the KD beam frontier's certificate coverage after
+    # hk_probe_after queries and promotes off the full MXU scan. Exactness
+    # is unconditional on every rung.
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+    from nns_tpu.trees.beam import BeamIndex
+
+    r, indist, _ = _clustered_hk_workload()
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    assert isinstance(eng._built, MXUExpansion)
+    b1 = indist(128)
+    assert_exact(eng.query(b1), b1, r)
+    assert isinstance(eng._built, MXUExpansion)  # below the probe volume
+    b2 = indist(128)
+    assert_exact(eng.query(b2), b2, r)  # crosses 256 -> probe + promote
+    assert eng._hk_probed
+    assert isinstance(eng._built, BeamIndex)
+    # Uncertified rows re-answer through the retained MXU engine, and the
+    # promoted path stays exact.
+    assert eng._built.exact_fallback is not None
+    assert isinstance(eng._hk_mxu, MXUExpansion)
+    b3 = indist(300)
+    assert_exact(eng.query(b3), b3, r)
+
+
+def test_engine_high_k_uniform_probe_rejects():
+    # Uniform high-k data genuinely needs the full scan (beam boxes cannot
+    # prune at high intrinsic dimension — measured coverage ~0); the probe
+    # must run once, reject, and keep the MXU engine.
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+
+    q, r = make_dataset(16, 600, 8192, seed=22)
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    assert_exact(eng.query(q), q, r)
+    assert eng._hk_probed
+    assert isinstance(eng._built, MXUExpansion)
+
+
+def test_engine_high_k_demotes_back_to_mxu():
+    # The demotion mirror: a promoted beam engine whose live coverage
+    # collapses (uniform-box queries over clustered refs certify ~10%)
+    # must demote back to the RETAINED MXU engine — not the fused scan,
+    # which is strictly slower at k >= 8 — staying exact throughout.
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+    from nns_tpu.trees.beam import BeamIndex
+
+    r, indist, rng = _clustered_hk_workload(seed=23)
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    b = indist(300)
+    assert_exact(eng.query(b), b, r)
+    assert isinstance(eng._built, BeamIndex)
+    mxu = eng._hk_mxu
+    for _ in range(3):
+        bu = rng.random((128, 16), dtype=np.float32)
+        assert_exact(eng.query(bu), bu, r)
+        if isinstance(eng._built, MXUExpansion):
+            break
+    assert eng._built is mxu  # demoted to the retained engine, no rebuild
+    b2 = indist(64)
+    assert_exact(eng.query(b2), b2, r)
+
+
 def test_engine_singleton_misses_do_not_promote():
     # The promotion mirror of the demotion hysteresis test (VERDICT round 2
     # weak #2): occasional 1-query certificate misses interleaved with

@@ -48,3 +48,13 @@ def test_bench_k16_script_smoke():
         "NNS_BENCH_N": "2048", "NNS_BENCH_M": "64", "NNS_BENCH_K16_W": "2",
     })
     assert rec["metric"] == "exact_1nn_qps_2048_refs_64_queries_k16_1chip"
+
+
+def test_bench_k16_clustered_script_smoke():
+    rec = _run("benchmarks/bench_k16_clustered.py", {
+        "NNS_BENCH_N": "2048", "NNS_BENCH_M": "64", "NNS_BENCH_K16_W": "2",
+    })
+    assert rec["metric"] == (
+        "exact_1nn_qps_2048_refs_64_queries_k16_clustered_1chip"
+    )
+    assert rec["coverage"] > 0.9  # promoted beam covers the clustered drain

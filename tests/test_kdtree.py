@@ -98,6 +98,29 @@ def test_kdtree_device_tiny_beam_fallback_exact():
     assert_exact(idx, q, r)
 
 
+def test_beam_staged_chunked_drain():
+    # The serving drain: a query set wider than one chunk must run as ONE
+    # device program (lax.map over staged chunks — per-chunk dispatches
+    # cost ~1 ms of non-overlapping tunnel time EACH), with certified rows
+    # matching the oracle and query_exact unconditionally exact.
+    q, r = make_dataset(3, 2500, 20000, seed=8)
+    bi = KDTree.build(r).device_index()
+    st = bi.stage_queries(q)
+    assert st.q_dev.shape[0] > 1  # genuinely multi-chunk
+    idx, ok = bi.query_staged_with_flags(st)
+    assert ok.mean() > 0.9
+    d_got = ((q.astype(np.float64) - r[idx].astype(np.float64)) ** 2).sum(1)
+    d_true = (
+        (q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2
+    ).sum(-1).min(1)
+    assert (d_got[ok] == d_true[ok]).all()  # certified rows are true NNs
+    # The one-dispatch form agrees with the unstaged public surface.
+    idx2, ok2 = bi.query_with_flags(q)
+    np.testing.assert_array_equal(idx, idx2)
+    np.testing.assert_array_equal(ok, ok2)
+    assert_exact(bi.query_exact(q), q, r)
+
+
 def test_kdtree_beam_certificate_coverage():
     # On uniform data the default beam should certify nearly every query
     # (the perf contract: fallback scans must be the rare path).

@@ -220,10 +220,12 @@ def test_band_refine_two_tile_duplicate_resolved_by_tier1():
     assert eng._fallback is None, "two-tile tie resolves in tier 1"
 
 
-def test_band_refine_three_tile_tie_falls_back_to_full_scan():
+def test_band_refine_three_tile_tie_resolved_by_in_program_full_scan():
     """Exact copies in THREE tiles: the top-2 gather must miss one, the
-    third-tile bound equals the winner value, tier 1 refuses, and tier 2
-    (full scan) answers with the lowest reference index."""
+    third-tile bound equals the winner value, tier 1 refuses, and the
+    IN-PROGRAM tier-2 full scan (round 5: _full_scan_rows under the second
+    lax.cond, replacing the per-drain host round trip) answers with the
+    lowest reference index — without ever building the host fallback."""
     rng = np.random.default_rng(23)
     k = 16
     refs = (rng.random((2000, k)) + 2.0).astype(np.float32)
@@ -235,7 +237,28 @@ def test_band_refine_three_tile_tie_falls_back_to_full_scan():
     assert not cert[0]
     out = eng.query_staged(eng.stage_queries(q))
     assert int(out[0]) == 30
-    assert eng._fallback is not None, "three-tile tie must reach tier 2"
+    assert eng._fallback is None, "tier 2 must resolve in-program"
+
+
+def test_tier2_bucket_overflow_reaches_host_full_scan():
+    """More straddling-tie rows than the tier-2 static bucket: overflow
+    rows stay sign-encoded and the host full scan re-answers them — the
+    soundness backstop for adversarial tie floods."""
+    rng = np.random.default_rng(29)
+    k = 16
+    n = 2000
+    refs = (rng.random((n, k)) + 2.0).astype(np.float32)
+    # Every query is a three-tile exact duplicate -> tier 1 refuses all.
+    n_dup = 96
+    for i in range(n_dup):
+        refs[600 + i] = refs[i]    # tile 2
+        refs[1700 + i] = refs[i]   # tile 3
+    q = refs[:n_dup].copy()
+    eng = MXUExpansion(refs, tile_m=8, tile_n=512)
+    eng._maxbad2 = lambda m: 8  # force overflow past the tier-2 bucket
+    out = eng.query_staged(eng.stage_queries(q))
+    np.testing.assert_array_equal(out, np.arange(n_dup, dtype=np.int32))
+    assert eng._fallback is not None, "overflow must reach the host scan"
 
 
 def test_chunked_dispatch_matches_monolith():
