@@ -120,17 +120,31 @@ def main() -> int:
         N_QUERIES, min(512, N_QUERIES), replace=False)
     assert recall_at_1(idx_first[sub], batches[0][sub], refs) == 1.0
 
-    # -- drained beam serving (staged, full answer in-region) --------------
+    # -- drained serving (staged, full answer in-region) --------------------
+    # Arms: the configuration the ladder actually promoted to (round 5:
+    # the chunk-scan drain — one shared budget-bucket candidate set per
+    # locality-sorted chunk — when per-query beam-16 base coverage
+    # certifies), plus the per-query beam forms for comparison.
     st = bi.stage_queries(allq)
     results = {}
-    for beam in sorted({eng._hk_beam, 8}):
-        idx_w, cov_w = bi.query_staged_with_coverage(st, beam)  # compile
+    arms = []
+    if eng._hk_budget is not None:
+        arms.append((f"scan{eng._hk_budget}", eng._hk_beam, eng._hk_budget))
+    arms += [(f"beam{b}", b, None) for b in sorted({eng._hk_beam, 8})]
+    for label, beam, budget in arms:
+        idx_w, cov_w = bi.query_staged_with_coverage(st, beam, budget)
         best, (idx_b, cov) = _trials(
-            lambda b=beam: bi.query_staged_with_coverage(st, b),
-            f"beam={beam} drain (W={W}, cov incl. retry)")
-        log(f"[bench_k16c]   coverage={cov:.5f} "
-            f"(pairs/query ~{beam * bi.pts.shape[1] + bi.extras.shape[0]:,} "
-            f"of {N_REFS:,})")
+            lambda b=beam, bu=budget: bi.query_staged_with_coverage(
+                st, b, bu),
+            f"{label} drain (W={W}, cov incl. retry)")
+        if budget is not None:
+            pairs = budget * bi.pts.shape[1] + bi.extras.shape[0]
+            log(f"[bench_k16c]   coverage={cov:.5f} (shared candidates "
+                f"~{pairs:,} of {N_REFS:,} per 1024-query chunk)")
+        else:
+            log(f"[bench_k16c]   coverage={cov:.5f} (pairs/query "
+                f"~{beam * bi.pts.shape[1] + bi.extras.shape[0]:,} "
+                f"of {N_REFS:,})")
         # Gates: recall 1.0 on two f64-oracle subsamples + the answers must
         # be the serving answers (same array the drain returned).
         r0 = recall_at_1(idx_b[:N_QUERIES][sub], batches[0][sub], refs)
@@ -140,13 +154,13 @@ def main() -> int:
                          batches[b_i][sub], refs)
         log(f"[bench_k16c]   recall@1 (batch 0 / batch {b_i}, 512-query f64 "
             f"oracle subsamples): {r0} / {r1}")
-        results[beam] = (best, cov, r0 == 1.0 and r1 == 1.0)
+        results[label] = (best, cov, r0 == 1.0 and r1 == 1.0)
     del cov_w, idx_w
 
     beam_best, (best, cov, gates) = min(
         results.items(), key=lambda kv: kv[1][0])
     qps = N_QUERIES / best
-    log(f"[bench_k16c] best: beam={beam_best} {best*1e3:.2f} ms/batch -> "
+    log(f"[bench_k16c] best: {beam_best} {best*1e3:.2f} ms/batch -> "
         f"{qps:,.0f} qps = {best_mxu/best:.1f}x the MXU full scan on the "
         f"same data ({best_mxu*1e3:.2f} ms/batch)")
 

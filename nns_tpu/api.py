@@ -254,6 +254,7 @@ class NNEngine:
         self._hk_seen = 0
         self._hk_probed = False
         self._hk_beam = 8
+        self._hk_budget: int | None = None  # chunk-scan bucket budget
         self._hk_mxu: Any = None
         self._hk_recent: np.ndarray | None = None
 
@@ -318,14 +319,21 @@ class NNEngine:
 
         if isinstance(self._built, BeamIndex):
             idx, cov = self._built.query_with_coverage(
-                queries, beam=self._hk_beam
+                queries, beam=self._hk_beam, budget=self._hk_budget
             )
             if self._note_coverage(
                 cov, queries.shape[0], good_cov=0.5, miss_frac=0.7
             ):
-                from nns_tpu.kernels.mxu_expansion import MXUExpansion
+                if self._hk_budget is not None:
+                    # The scan rung's chunk-locality assumption failed on
+                    # the live stream (its probe only certified PER-QUERY
+                    # beam-16 coverage): demote scan -> per-query beam with
+                    # a fresh hysteresis window before giving up the index.
+                    self._hk_budget = None
+                else:
+                    from nns_tpu.kernels.mxu_expansion import MXUExpansion
 
-                self._built = self._hk_mxu or MXUExpansion(self._refs)
+                    self._built = self._hk_mxu or MXUExpansion(self._refs)
             return _as_idx(idx)
         idx = _as_idx(self._built.query(queries))
         self._maybe_promote_high_k(queries)
@@ -367,6 +375,50 @@ class NNEngine:
 
         bi = KDTree.build(self._refs).device_index()
         probe = recent
+
+        def _promote(beam: int, budget: int | None = None) -> None:
+            self._hk_mxu = self._built
+            bi.exact_fallback = self._hk_fallback
+            self._hk_beam = beam
+            self._hk_budget = budget
+            self._built = bi
+
+        # Rung 1: the chunk-scan drain (beam._chunk_scan_core) — ONE shared
+        # budget-bucket candidate set per locality-sorted chunk + the exact
+        # fused Pallas scan, ~100x less gather traffic than any per-query
+        # beam at equal coverage. The scan CANNOT be probed directly: the
+        # 512-query probe window spans the whole workload's buckets, so
+        # staged as ONE chunk its bucket union blows any budget — unlike a
+        # real serving queue, whose locality-sorted chunks each concentrate
+        # in a few blobs. Predictor instead: per-query beam-16 BASE
+        # coverage (16 buckets/query suffice => a sorted chunk's shared
+        # budget-bucket set covers its blob union). If the locality
+        # assumption fails on the live stream, serving demotes scan ->
+        # beam -> MXU (_query_high_k), so a mispredict costs one
+        # hysteresis window, never exactness.
+        scan_ready = bi.desc_dim is not None and bi.lo.shape[0] >= 4 * 16
+        if scan_ready:
+            _, ok = bi.query_with_flags(probe, beam=16)
+            if float(ok.mean()) >= cfg.hk_promote_cov:
+                budget = min(cfg.hk_scan_budget, bi.lo.shape[0] // 2)
+                return _promote(16, budget=budget)
+        # Rung 2: the smallest per-query beam whose BASE pass covers (a
+        # serving path of base(beam) + retry(4*beam) on a thin tail; a beam
+        # that only covers WITH the retry makes every drain pay base as a
+        # dead pass plus the 4x-wider rescan of ~all rows — measured round 5
+        # on 1M clustered 16-D: base-4 coverage 0.005). Skipped when the
+        # rung-1 predictor already measured beam-16 base coverage short of
+        # the bar: base coverage is monotone in beam, so 4/8 cannot pass.
+        if not scan_ready:
+            for beam in (4, 8, 16):
+                if bi.lo.shape[0] < 4 * beam:
+                    break  # beam covers >= 1/4 of the frontier: not pruning
+                _, ok = bi.query_with_flags(probe, beam=beam)
+                if float(ok.mean()) >= cfg.hk_promote_cov:
+                    return _promote(beam)
+        # No base pass covers — accept a retry-dependent beam (still a
+        # measured ~4x win over the certificate-collapsed MXU full scan on
+        # clustered data); keep the MXU engine if even that fails.
         for beam in (4, 8):
             _, ok = bi.query_with_flags(probe, beam=beam)
             bad = np.flatnonzero(~ok)
@@ -374,11 +426,7 @@ class NNEngine:
                 _, ro = bi.query_with_flags(probe[bad], beam=beam * 4)
                 ok[bad] = ro
             if float(ok.mean()) >= cfg.hk_promote_cov:
-                self._hk_mxu = self._built
-                bi.exact_fallback = self._hk_fallback
-                self._hk_beam = beam
-                self._built = bi
-                return
+                return _promote(beam)
 
     def build(self, refs) -> "NNEngine":
         refs = np.atleast_2d(np.asarray(refs, dtype=np.float32))
@@ -389,6 +437,7 @@ class NNEngine:
         self._hk_seen = 0   # fresh index: re-arm the high-k probe
         self._hk_probed = False
         self._hk_beam = 8
+        self._hk_budget = None
         self._hk_mxu = None
         self._hk_recent = None
         if self._auto:

@@ -97,6 +97,12 @@ class EngineConfig:
     hk_probe_after: int = 2048
     hk_promote_cov: float = 0.9
     hk_promote_n_min: int = 1 << 17
+    # Chunk-scan promotion rung (beam._chunk_scan_core): buckets scanned
+    # per locality-sorted query chunk. 256 x cap 512 covers the ~26 blobs
+    # a 1024-query chunk of the in-distribution clustered workload spans
+    # (~8 buckets per blob) with 2x headroom; the probe caps it at half
+    # the frontier so promotion always implies real pruning.
+    hk_scan_budget: int = 256
 
 
 DEFAULT_ENGINE_CONFIG = EngineConfig()

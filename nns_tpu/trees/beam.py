@@ -60,6 +60,39 @@ _MAX_F = 65536    # bucket-count guard: cap doubles until the frontier fits
 _CERT_MARGIN = 1.0 + 1e-5
 
 
+def _select_buckets(lb, beam: int):
+    """Per-query nearest-`beam` bucket ids + the (beam+1)-th box bound (the
+    certificate threshold). For the serving beams (kk <= 17) this unrolls
+    argmin + where-mask passes instead of ``lax.top_k``: on the real chip
+    top_k over a (1024, 2048) bound matrix lowers to a full SORT at
+    ~12 ms/chunk — ~48% of the whole beam drain's device time (round-5
+    xplane, benchmarks/prof_r5_beam.py) — while kk iota-reduce argmins
+    cost ~0.1-0.2 ms each. Same extraction trick as _beam_topk's hit
+    loop (the repo-wide 'wide top_k is a tarpit' rule, CLAUDE.md). Wide
+    retry beams (kk > 17, the rare uncertified tail) keep top_k: there
+    the sort amortizes better than ~33+ unrolled passes would."""
+    m, f_total = lb.shape
+    nb = min(beam, f_total)
+    kk = min(beam + 1, f_total)
+    if kk > 17:
+        neg, bids = jax.lax.top_k(-lb, kk)
+        thr = (-neg[:, nb] if f_total > nb
+               else jnp.full((m,), jnp.inf, jnp.float32))
+        return bids[:, :nb], thr
+    cols = jax.lax.broadcasted_iota(jnp.int32, lb.shape, 1)
+    rows = jnp.arange(m)
+    sel_parts = []
+    thr = jnp.full((m,), jnp.inf, jnp.float32)
+    for i in range(kk):
+        pos = jnp.argmin(lb, axis=1)
+        if i < nb:
+            sel_parts.append(pos)
+        else:                       # i == nb: the (beam+1)-th smallest bound
+            thr = lb[rows, pos]
+        lb = jnp.where(cols == pos[:, None], jnp.inf, lb)
+    return jnp.stack(sel_parts, axis=1), thr
+
+
 def _beam_query_core(q, lo, hi, pts, ids, extras, extras_ids, beam: int):
     """q (m, k); lo/hi (F, k); pts (F, cap, k); ids (F, cap); extras (E, k).
     Returns (best_idx (m,) i32, certified (m,) bool)."""
@@ -77,10 +110,7 @@ def _beam_query_core(q, lo, hi, pts, ids, extras, extras_ids, beam: int):
 
     # 2. Nearest beam buckets + the (beam+1)-th bound = certificate threshold.
     nb = min(beam, f_total)
-    kk = min(beam + 1, f_total)
-    neg, bids = jax.lax.top_k(-lb, kk)
-    sel = bids[:, :nb]                                   # (m, nb)
-    thr = -neg[:, nb] if f_total > nb else jnp.full((m,), jnp.inf, jnp.float32)
+    sel, thr = _select_buckets(lb, beam)                 # (m, nb), (m,)
 
     # 3. Exact direct-form scan of the selected buckets (+ shared extras).
     cand = pts[sel]                                      # (m, nb, cap, k) gather
@@ -127,6 +157,100 @@ def _beam_query_many(qc, lo, hi, pts, ids, extras, extras_ids, beam: int):
     return jax.lax.map(step, qc)
 
 
+def _chunk_scan_core(q, lo, hi, pts, ids, extras, extras_ids, budget: int):
+    """Budget scan: ONE shared candidate set per query chunk instead of a
+    per-query bucket gather (round 5, the high-k clustered serving path).
+
+    The per-query beam gather materializes (m, beam, cap, k) — at
+    beam=16/cap=512/k=16 that is 0.5 GB per 1024-query chunk, and the
+    measured drain runs at ~1/6 of HBM speed-of-light (NUMBERS.md round-5
+    beam table). But a LOCALITY-SORTED chunk's queries overwhelmingly
+    select the same buckets (in-distribution clustered workloads: ~8
+    buckets per blob, ~40 queries per blob per batch), so this core scans
+    the chunk-level union instead:
+
+      1. lb (m, F) box bounds as in the beam core;
+      2. the `budget` buckets nearest to ANY query in the chunk
+         (min-over-queries score, one top_k row — not per-query);
+      3. gather those buckets ONCE — (budget, cap, k), ~100x less HBM
+         traffic than the per-query form — append the extras block, and
+         run the exact direct-form fused Pallas scan (pallas_fused, the
+         v4 flagship kernel) of all m queries against the shared
+         candidate tensor on the MXU-adjacent VPU path;
+      4. certificate: winner_d2 * margin <= min lb over the buckets NOT
+         in the scanned set (every unscanned point lies in an unscanned
+         bucket at least that far). Sound for ANY query order; sorting
+         only affects how often it certifies.
+
+    Exactness: the fused kernel computes direct-form f32 (q - r)^2 over
+    real points only (bucket pads and tile pads are replicas of real
+    points), so a certified winner is a true NN of the f32 inputs; the
+    scanned set is a SUPERSET of any per-query beam selection that the
+    same budget could certify, so coverage dominates the beam form's at
+    equal scanned volume. Returns (idx (m,) i32, certified (m,) bool).
+    """
+    from nns_tpu.kernels import layouts
+    from nns_tpu.kernels.pallas_fused import _fused_on_prepared, _interpret
+
+    m, k = q.shape
+    f_total = lo.shape[0]
+    cap = pts.shape[1]
+    b = min(budget, f_total)
+
+    lb = jnp.zeros((m, f_total), dtype=jnp.float32)
+    for d in range(k):
+        qd = q[:, d : d + 1]
+        gap = jnp.maximum(jnp.maximum(lo[None, :, d] - qd, qd - hi[None, :, d]), 0.0)
+        lb = lb + gap * gap
+
+    score = jnp.min(lb, axis=0)                      # (F,) chunk-level bound
+    _, sel = jax.lax.top_k(-score, b)                # one row — cheap sort
+    cand = pts[sel].reshape(b * cap, k)              # ONE gather per chunk
+    cand_ids = ids[sel].reshape(b * cap)
+    if extras.shape[0]:
+        cand = jnp.concatenate([cand, extras], axis=0)
+        cand_ids = jnp.concatenate([cand_ids, extras_ids], axis=0)
+
+    # Tile-align the candidate axis with replicas of candidate 0 (a real
+    # point — exact for any data; ties resolve to the earlier real slot).
+    tn = min(2048, layouts.pow2_at_least(cand.shape[0]))
+    n_pad = layouts.round_up(cand.shape[0], tn)
+    if n_pad != cand.shape[0]:
+        reps = n_pad - cand.shape[0]
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(cand[0], (reps, k))], axis=0
+        )
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.broadcast_to(cand_ids[0], (reps,))], axis=0
+        )
+    best_d2, pos = _fused_on_prepared(
+        q, cand.T, 256, tn, _interpret()
+    )
+    idx = cand_ids[pos]
+
+    scanned = jnp.zeros((f_total,), bool).at[sel].set(True)
+    unscanned_min = jnp.min(
+        jnp.where(scanned[None, :], jnp.inf, lb), axis=1
+    )
+    ok = best_d2 * _CERT_MARGIN <= unscanned_min
+    return idx.astype(jnp.int32), ok
+
+
+@functools.partial(jax.jit, static_argnames=("budget",))
+def _chunk_scan_many(qc, lo, hi, pts, ids, extras, extras_ids, budget: int):
+    """ONE program for a staged queue of locality-sorted chunks (the
+    _beam_query_many shape: lax.map + a single fetchable (C, 2, step)
+    output)."""
+
+    def step(qk):
+        idx, ok = _chunk_scan_core(
+            qk, lo, hi, pts, ids, extras, extras_ids, budget
+        )
+        return jnp.stack([idx, ok.astype(jnp.int32)], axis=0)
+
+    return jax.lax.map(step, qc)
+
+
 @functools.partial(jax.jit, static_argnames=("beam", "k_nn"))
 def _beam_topk(q, lo, hi, pts, ids, valid, extras, extras_ids,
                beam: int, k_nn: int):
@@ -145,10 +269,7 @@ def _beam_topk(q, lo, hi, pts, ids, valid, extras, extras_ids,
         gap = jnp.maximum(jnp.maximum(lo[None, :, d] - qd, qd - hi[None, :, d]), 0.0)
         lb = lb + gap * gap
     nb = min(beam, f_total)
-    kk = min(beam + 1, f_total)
-    neg, bids = jax.lax.top_k(-lb, kk)
-    sel = bids[:, :nb]
-    thr = -neg[:, nb] if f_total > nb else jnp.full((m,), jnp.inf, jnp.float32)
+    sel, thr = _select_buckets(lb, beam)
 
     cand = pts[sel]
     diff = q[:, None, None, :] - cand
@@ -198,16 +319,19 @@ def _beam_topk(q, lo, hi, pts, ids, valid, extras, extras_ids,
 
 class BeamStagedQueries:
     """A query set staged for BeamIndex.query_staged_with_flags: the host
-    copy (retry/fallback slicing) and the chunked device copy — the upload
-    moves OUT of the serving drain's timed region, mirroring
-    MXUExpansion.stage_queries / CellListEngine.stage_queue."""
+    copy (retry/fallback slicing, ORIGINAL order) and the chunked device
+    copy — the upload moves OUT of the serving drain's timed region,
+    mirroring MXUExpansion.stage_queries / CellListEngine.stage_queue.
+    ``perm`` (device order -> original row) is the locality sort applied
+    at staging for the chunk-scan path; None = identity."""
 
-    __slots__ = ("q_np", "q_dev", "m")
+    __slots__ = ("q_np", "q_dev", "m", "perm")
 
-    def __init__(self, q_np: np.ndarray, q_dev, m: int):
+    def __init__(self, q_np: np.ndarray, q_dev, m: int, perm=None):
         self.q_np = q_np
         self.q_dev = q_dev
         self.m = m
+        self.perm = perm
 
 
 @dataclasses.dataclass
@@ -227,6 +351,14 @@ class BeamIndex:
     # adaptation ladder (api.py) points this at its retained MXU-expansion
     # engine, which is strictly faster than the fused scan at k >= 8.
     exact_fallback: Any = None
+    # Host descent table of the owning tree's splitting planes — (F-1,)
+    # dims + thresholds over the implicit-heap internal nodes above the
+    # frontier. Used ONLY as the staging locality key for the chunk-scan
+    # drain (sorting queries by home bucket); None (octree frontiers)
+    # degrades to unsorted staging, which only lowers chunk-scan coverage,
+    # never correctness.
+    desc_dim: Any = None      # (F-1,) int8/int32 numpy
+    desc_thr: Any = None      # (F-1,) f32 numpy
 
     @classmethod
     def from_groups(
@@ -277,31 +409,88 @@ class BeamIndex:
 
     # -- query --------------------------------------------------------------
 
+    def home_buckets(self, q: np.ndarray) -> np.ndarray:
+        """Host descent to each query's home frontier bucket (the staging
+        locality key). Requires the desc tables; vectorized over rows —
+        log2(F) gather+compare passes."""
+        m = q.shape[0]
+        t = int(self.lo.shape[0]).bit_length() - 1
+        s = np.ones(m, dtype=np.int64)
+        rows = np.arange(m)
+        for _ in range(t):
+            d = self.desc_dim[s]
+            s = 2 * s + (q[rows, d] > self.desc_thr[s])
+        return (s - (1 << t)).astype(np.int64)
+
     def stage_queries(self, queries: np.ndarray) -> BeamStagedQueries:
         """Pre-stage a query set on device for the serving drain (the
         host->device upload leaves the timed region). Chunk shapes are
         quantized to powers of two so retry tails and odd batch sizes don't
-        compile a fresh program per size."""
+        compile a fresh program per size. When the frontier carries a
+        descent table, queries are sorted by home bucket first — the
+        locality grouping the chunk-scan drain's shared candidate set
+        depends on (answers are unsorted back to caller order at decode,
+        so the sort is invisible to every caller)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
+        perm = None
+        q_sorted = q
+        if self.desc_dim is not None and m > 1:
+            perm = np.argsort(self.home_buckets(q), kind="stable")
+            q_sorted = q[perm]
         step = min(_CHUNK_M, pow2_at_least(max(m, 8)))
         chunks = -(-m // step)
-        qpad = np.pad(q, ((0, chunks * step - m), (0, 0)))
+        pad = chunks * step - m
+        if pad:
+            # Replicate the LAST query instead of zero-padding: the chunk
+            # scan's bucket score is a min over the chunk's rows, and a
+            # zero row would drag the shared candidate set toward the
+            # origin corner (replicas keep it locality-pure; pad rows are
+            # sliced off at decode either way).
+            qpad = np.concatenate(
+                [q_sorted, np.repeat(q_sorted[-1:], pad, axis=0)], axis=0
+            )
+        else:
+            qpad = q_sorted
         qdev = jnp.asarray(qpad.reshape(chunks, step, q.shape[1]))  # ONE upload
-        return BeamStagedQueries(q, qdev, m)
+        return BeamStagedQueries(q, qdev, m, perm)
+
+    @staticmethod
+    def _decode(out: np.ndarray, st: BeamStagedQueries):
+        """(C, 2, step) i32 drain output -> (idx, ok) in CALLER order."""
+        step = out.shape[2]
+        idx = out[:, 0, :].reshape(-1)[: st.m].astype(np.int32)
+        ok = out[:, 1, :].reshape(-1)[: st.m].astype(bool)
+        if st.perm is not None:
+            idx_o = np.empty_like(idx)
+            ok_o = np.empty_like(ok)
+            idx_o[st.perm] = idx
+            ok_o[st.perm] = ok
+            return idx_o, ok_o
+        return idx, ok
 
     def query_staged_with_flags(self, st: BeamStagedQueries, beam: int = 8):
         """(idx, certified) for a pre-staged query set: ONE device program
         (lax.map over the staged chunks) + ONE host fetch, the serving-drain
         shape shared by every engine in this repo."""
-        step = st.q_dev.shape[1]
         out = np.asarray(_beam_query_many(
             st.q_dev, self.lo, self.hi, self.pts, self.ids,
             self.extras, self.extras_ids, beam,
         ))  # (C, 2, step) i32 — the single round trip
-        idx = out[:, 0, :].reshape(-1)[: st.m].astype(np.int32)
-        ok = out[:, 1, :].reshape(-1)[: st.m].astype(bool)
-        return idx, ok
+        return self._decode(out, st)
+
+    def query_staged_scan_with_flags(
+        self, st: BeamStagedQueries, budget: int = 128
+    ):
+        """(idx, certified) by the chunk-scan drain (_chunk_scan_core): one
+        shared `budget`-bucket candidate set per locality-sorted chunk, the
+        exact fused Pallas scan over it, certificates against the unscanned
+        buckets' bounds. Same one-dispatch/one-fetch drain shape."""
+        out = np.asarray(_chunk_scan_many(
+            st.q_dev, self.lo, self.hi, self.pts, self.ids,
+            self.extras, self.extras_ids, budget,
+        ))
+        return self._decode(out, st)
 
     def query_with_flags(self, queries: np.ndarray, beam: int = 8):
         """(idx, certified); certified=False rows need an exact fallback
@@ -309,14 +498,19 @@ class BeamIndex:
         return self.query_staged_with_flags(self.stage_queries(queries), beam)
 
     def query_staged_with_coverage(
-        self, st: BeamStagedQueries, beam: int = 8
+        self, st: BeamStagedQueries, beam: int = 8,
+        budget: int | None = None,
     ) -> tuple[np.ndarray, float]:
         """Exact answers plus the certified fraction for a pre-staged query
-        set — the full serving answer in the timed region: base beam drain
-        (one dispatch), then a wider retry for a dense uncertified tail,
-        then the exact fallback for survivors (callers adapt engine choice
-        on persistent misses)."""
-        idx, ok = self.query_staged_with_flags(st, beam)
+        set — the full serving answer in the timed region: base drain (the
+        chunk-scan when ``budget`` is set, else the per-query beam form;
+        one dispatch either way), then a wider beam retry for a dense
+        uncertified tail, then the exact fallback for survivors (callers
+        adapt engine choice on persistent misses)."""
+        if budget is not None:
+            idx, ok = self.query_staged_scan_with_flags(st, budget)
+        else:
+            idx, ok = self.query_staged_with_flags(st, beam)
         bad = np.flatnonzero(~ok)
         if len(bad) and self.lo.shape[0] > 4 * beam:
             # A structurally hard tail (clustered data, box-boundary
@@ -339,11 +533,14 @@ class BeamIndex:
         return idx, cov
 
     def query_with_coverage(
-        self, queries: np.ndarray, beam: int = 8
+        self, queries: np.ndarray, beam: int = 8,
+        budget: int | None = None,
     ) -> tuple[np.ndarray, float]:
         """query_staged_with_coverage on a freshly-staged query set."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
-        return self.query_staged_with_coverage(self.stage_queries(q), beam)
+        return self.query_staged_with_coverage(
+            self.stage_queries(q), beam, budget
+        )
 
     def query_exact(self, queries: np.ndarray, beam: int = 8) -> np.ndarray:
         return self.query_with_coverage(queries, beam)[0]
@@ -439,7 +636,24 @@ def kd_beam_index(tree, cap_target: int = 512) -> BeamIndex:
     order = np.argsort(bucket, kind="stable")
     grouped = pids[~is_extra][order].astype(np.int32)
     counts = np.bincount(bucket, minlength=1 << t)
-    return BeamIndex.from_groups(tree.refs, grouped, counts, extras_ids)
+    bi = BeamIndex.from_groups(tree.refs, grouped, counts, extras_ids)
+    # Descent table over the internal nodes above the frontier (heap slots
+    # 1 .. 2^t - 1): the chunk-scan drain's staging locality key
+    # (BeamIndex.home_buckets). Empty slots keep (dim 0, thr 0) — descent
+    # through them is an arbitrary but deterministic grouping, which only
+    # affects sort quality, never correctness.
+    node_dim = np.asarray(tree.node_dim)
+    node_point = np.asarray(tree.node_point)
+    desc_dim = np.zeros(1 << t, dtype=np.int64)
+    desc_thr = np.zeros(1 << t, dtype=np.float32)
+    internal = np.arange(1, 1 << t)
+    have = internal[internal < len(node_point)]
+    have = have[node_point[have] >= 0]
+    desc_dim[have] = node_dim[have]
+    desc_thr[have] = tree.refs[node_point[have], node_dim[have]]
+    bi.desc_dim = desc_dim
+    bi.desc_thr = desc_thr
+    return bi
 
 
 def octree_beam_index(tree, cap_target: int = 512) -> BeamIndex:

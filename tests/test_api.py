@@ -262,6 +262,53 @@ def test_engine_high_k_promotes_to_beam_on_clustered():
     assert_exact(eng.query(b3), b3, r)
 
 
+def test_engine_high_k_promotes_to_chunk_scan_on_large_clustered():
+    # Rung 1 of the round-5 ladder: with a frontier wide enough to prune
+    # (F >= 32), the probe prefers the chunk-scan drain (shared candidate
+    # set per locality-sorted chunk) and records its bucket budget; serving
+    # stays exact through scan + retry + retained-MXU fallback.
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.trees.beam import BeamIndex
+
+    r, indist, _ = _clustered_hk_workload(seed=31, n=32768)
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    b1 = indist(300)
+    assert_exact(eng.query(b1), b1, r)
+    assert isinstance(eng._built, BeamIndex)
+    assert eng._hk_budget is not None and eng._hk_budget >= 1
+    b2 = indist(1500)
+    assert_exact(eng.query(b2), b2, r)
+
+
+def test_engine_high_k_scan_demotes_to_beam_then_mxu():
+    # The round-5 demotion cascade: a scan-rung engine whose live chunk
+    # locality collapses first drops ONLY the budget (scan -> per-query
+    # beam, same index), and a second sustained collapse releases the index
+    # to the retained MXU engine. Exact at every step.
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.kernels.mxu_expansion import MXUExpansion
+    from nns_tpu.trees.beam import BeamIndex
+
+    r, indist, rng = _clustered_hk_workload(seed=37, n=32768)
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    b = indist(300)
+    assert_exact(eng.query(b), b, r)
+    assert isinstance(eng._built, BeamIndex) and eng._hk_budget is not None
+    mxu = eng._hk_mxu
+    saw_beam_rung = False
+    for _ in range(8):
+        bu = rng.random((128, 16), dtype=np.float32)  # out-of-distribution
+        assert_exact(eng.query(bu), bu, r)
+        if isinstance(eng._built, BeamIndex) and eng._hk_budget is None:
+            saw_beam_rung = True  # first collapse: budget dropped, index kept
+        if isinstance(eng._built, MXUExpansion):
+            break
+    assert saw_beam_rung
+    assert eng._built is mxu  # second collapse: retained engine, no rebuild
+    b2 = indist(64)
+    assert_exact(eng.query(b2), b2, r)
+
+
 def test_engine_high_k_uniform_probe_rejects():
     # Uniform high-k data genuinely needs the full scan (beam boxes cannot
     # prune at high intrinsic dimension — measured coverage ~0); the probe

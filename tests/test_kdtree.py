@@ -121,6 +121,63 @@ def test_beam_staged_chunked_drain():
     assert_exact(bi.query_exact(q), q, r)
 
 
+def _clustered_16d(seed: int, n: int, m: int):
+    rng = np.random.default_rng(seed)
+    _, r = make_dataset(16, 1, n, seed=seed, clustered=True)
+    base = r[rng.integers(0, n, size=m)]
+    q = (base + rng.normal(0, 0.01, size=base.shape)).astype(np.float32)
+    return q, r
+
+
+def test_beam_chunk_scan_certified_rows_exact():
+    # The round-5 chunk-scan drain: one shared budget-bucket candidate set
+    # per locality-sorted chunk + the exact fused scan. Certified rows must
+    # be true NNs (f64 oracle), the staging sort must be invisible (answers
+    # in caller order), and coverage must be high in-distribution.
+    q, r = _clustered_16d(11, 32768, 3000)
+    bi = KDTree.build(r).device_index()
+    assert bi.desc_dim is not None
+    st = bi.stage_queries(q)
+    assert st.perm is not None  # locality sort engaged
+    budget = min(32, bi.lo.shape[0] // 2)
+    idx, ok = bi.query_staged_scan_with_flags(st, budget)
+    assert ok.mean() > 0.9
+    d_got = ((q.astype(np.float64) - r[idx].astype(np.float64)) ** 2).sum(1)
+    d_true = (
+        (q[:, None, :].astype(np.float64) - r[None].astype(np.float64)) ** 2
+    ).sum(-1).min(1)
+    assert (d_got[ok] == d_true[ok]).all()
+    # The full serving path (scan base + beam retry + exact fallback) is
+    # unconditionally exact.
+    idx2, cov = bi.query_staged_with_coverage(st, beam=16, budget=budget)
+    assert cov > 0.9
+    assert_exact(idx2, q, r)
+
+
+def test_beam_chunk_scan_tiny_budget_stays_exact():
+    # A starved budget collapses coverage, never correctness: uncertified
+    # rows flow through the beam retry and the exact fallback.
+    q, r = _clustered_16d(13, 16384, 700)
+    bi = KDTree.build(r).device_index()
+    idx, cov = bi.query_staged_with_coverage(
+        bi.stage_queries(q), beam=8, budget=2
+    )
+    assert_exact(idx, q, r)
+
+
+def test_beam_home_buckets_follow_descent():
+    # Every point's home bucket must contain... at minimum be a valid
+    # frontier id, and in-distribution queries of one blob should land in
+    # few distinct buckets (the locality the chunk-scan sort relies on).
+    q, r = _clustered_16d(17, 16384, 400)
+    bi = KDTree.build(r).device_index()
+    hb = bi.home_buckets(q)
+    assert hb.min() >= 0 and hb.max() < bi.lo.shape[0]
+    # points of the same blob (queries are blob samples) concentrate:
+    # far fewer distinct home buckets than queries.
+    assert len(np.unique(hb)) < len(q) // 2
+
+
 def test_kdtree_beam_certificate_coverage():
     # On uniform data the default beam should certify nearly every query
     # (the perf contract: fallback scans must be the rare path).
