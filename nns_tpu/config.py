@@ -98,11 +98,14 @@ class EngineConfig:
     hk_promote_cov: float = 0.9
     hk_promote_n_min: int = 1 << 17
     # Chunk-scan promotion rung (beam._chunk_scan_core): buckets scanned
-    # per locality-sorted query chunk. 256 x cap 512 covers the ~26 blobs
-    # a 1024-query chunk of the in-distribution clustered workload spans
-    # (~8 buckets per blob) with 2x headroom; the probe caps it at half
-    # the frontier so promotion always implies real pruning.
-    hk_scan_budget: int = 256
+    # per locality-sorted query chunk. Real-chip sweep at 1M x 16-D
+    # clustered, F=2048 (benchmarks/drive_r5_beam_sweep.py): budget 64
+    # base-covers 0.991 / serves 12.1 ms/batch, 128 base-covers 1.0 /
+    # 13.1, 256 / 20.9 — default 128 = the retry-free knee (the drain
+    # never depends on the 4x-beam rescue pass in-distribution). The
+    # probe caps it at half the frontier so promotion always implies
+    # real pruning.
+    hk_scan_budget: int = 128
 
 
 DEFAULT_ENGINE_CONFIG = EngineConfig()
