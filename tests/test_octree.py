@@ -97,6 +97,20 @@ def test_octree_k_fallback(monkeypatch):
     assert calls, "k != 3 device fallback must take the fused device scan"
 
 
+def test_engine_v13_high_k_stages_fused_at_build():
+    # Build/query semantics: NNEngine(13) at k != 3 must stage the fused
+    # engine ONCE at build (v11's policy) — the unbuilt per-call route
+    # re-transfers the reference set every query (measured 1,692 ms vs
+    # ~50 ms per batch at k=16 n=1M, round-5 v13 grid).
+    from nns_tpu.api import NNEngine
+    from nns_tpu.kernels.pallas_fused import FusedBruteForce
+
+    q, r = make_dataset(16, 32, 2048, seed=9)
+    eng = NNEngine(13).build(r)
+    assert isinstance(eng._built, FusedBruteForce)
+    assert_exact(eng.query(q), q, r)
+
+
 def test_octree_save_load(tmp_path):
     q, r = make_dataset(3, 32, 1024, seed=8)
     tree = Octree.build(r)
