@@ -309,6 +309,26 @@ def test_engine_high_k_scan_demotes_to_beam_then_mxu():
     assert_exact(eng.query(b2), b2, r)
 
 
+def test_engine_high_k_scan_serves_ragged_queue():
+    # The scan-promoted engine must drain a mixed-size queue through
+    # query_many (concatenated into ONE staged drain) with per-batch
+    # answers equal to query() — the serving contract the chunk-scan's
+    # staging sort must not disturb (answers decode to caller order).
+    from nns_tpu.config import EngineConfig
+    from nns_tpu.trees.beam import BeamIndex
+
+    r, indist, _ = _clustered_hk_workload(seed=41, n=32768)
+    eng = NNEngine(9, EngineConfig(**_HK_CFG)).build(r)
+    warm = indist(300)
+    assert_exact(eng.query(warm), warm, r)
+    assert isinstance(eng._built, BeamIndex) and eng._hk_budget is not None
+    batches = [indist(m) for m in (7, 130, 513, 64)]
+    outs = eng.query_many(batches)
+    for b, o in zip(batches, outs):
+        assert o.shape == (b.shape[0],)
+        assert_exact(o, b, r)
+
+
 def test_engine_high_k_uniform_probe_rejects():
     # Uniform high-k data genuinely needs the full scan (beam boxes cannot
     # prune at high intrinsic dimension — measured coverage ~0); the probe
