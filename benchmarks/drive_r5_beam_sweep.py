@@ -35,6 +35,10 @@ K = 16
 W = int(os.environ.get("NNS_BENCH_K16_W", "16"))
 SEED = 1000
 TRIALS = 5
+BEAMS = tuple(int(b) for b in os.environ.get(
+    "NNS_SWEEP_BEAMS", "4,8,16").split(",") if b)
+BUDGETS = tuple(int(b) for b in os.environ.get(
+    "NNS_SWEEP_BUDGETS", "64,128,256").split(",") if b)
 
 
 def log(msg: str) -> None:
@@ -63,7 +67,7 @@ def main() -> None:
         f"extras={bi.extras.shape[0]})")
 
     out = {}
-    for beam in (4, 8, 16):
+    for beam in BEAMS:
         t0 = time.perf_counter()
         idx, ok = bi.query_staged_with_flags(st, beam=beam)  # compile
         log(f"beam={beam}: compile+first {time.perf_counter()-t0:.1f}s; "
@@ -94,7 +98,7 @@ def main() -> None:
     # per locality-sorted chunk + the exact fused scan (beam._chunk_scan_core)
     # — the per-query bucket gather was the beam drain's bottleneck, so this
     # trades gather traffic for a wider (still pruned) fused scan.
-    for budget in (64, 128, 256):
+    for budget in BUDGETS:
         t0 = time.perf_counter()
         idx, ok = bi.query_staged_scan_with_flags(st, budget)  # compile
         log(f"scan b={budget}: compile+first {time.perf_counter()-t0:.1f}s; "

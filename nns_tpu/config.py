@@ -102,9 +102,13 @@ class EngineConfig:
     # clustered, F=2048 (benchmarks/drive_r5_beam_sweep.py): budget 64
     # base-covers 0.991 / serves 12.1 ms/batch, 128 base-covers 1.0 /
     # 13.1, 256 / 20.9 — default 128 = the retry-free knee (the drain
-    # never depends on the 4x-beam rescue pass in-distribution). The
-    # probe caps it at half the frontier so promotion always implies
-    # real pruning.
+    # never depends on the 4x-beam rescue pass in-distribution). A finer
+    # same-window sweep (96/112/128) confirmed the choice: 112 is the
+    # smallest base-cov-1.0 budget and serves within tunnel noise of 128
+    # (14.49 vs 14.79), while sub-coverage budgets (96: 13.14 full
+    # serving) win ~10% only by leaning on the retry pass — kept off the
+    # default for tail-latency predictability. The probe caps it at half
+    # the frontier so promotion always implies real pruning.
     hk_scan_budget: int = 128
 
 
