@@ -89,10 +89,21 @@ _DELTA_REL_PER_K = 2.0 ** -21
 
 
 def _split_bf16x3(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """(hi, mid, lo) bf16 triple with hi + mid + lo ~ x to ~24 bits."""
-    hi = x.astype(jnp.bfloat16)
+    """(hi, mid, lo) bf16 triple with hi + mid + lo ~ x to ~24 bits.
+
+    The ``optimization_barrier`` on each cast is LOAD-BEARING: under jit on
+    the real TPU backend, XLA folds ``x - f32(bf16(x))`` to exactly 0
+    (treating the round-trip cast as value-preserving), which silently
+    zeroes the mid/lo residuals and collapses the triple to a plain bf16
+    truncation — measured on-chip 2026-08-20: in-jit rem max 0.0 vs eager
+    1.9e-3, split-dot error 1.57e-2 (= the raw bf16 dot) vs 1.6e-6 with
+    the barriers. Eager callers (v9's reference-side staging) were never
+    affected; in-jit callers (v9's query-side _cat_q in _phase12, the
+    chunk-scan MXU core) were. The barrier only pins the cast results —
+    it costs no copies and does not block fusion around the split."""
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     rem = x - hi.astype(jnp.float32)
-    mid = rem.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
     lo = (rem - mid.astype(jnp.float32)).astype(jnp.bfloat16)
     return hi, mid, lo
 

@@ -251,6 +251,189 @@ def _chunk_scan_many(qc, lo, hi, pts, ids, extras, extras_ids, budget: int):
     return jax.lax.map(step, qc)
 
 
+def _chunk_scan_mxu_core(q, lo, hi, pts, ids, extras, extras_ids,
+                         budget: int, scan_t: int):
+    """MXU form of the chunk scan (round 5): same shared candidate set per
+    locality-sorted chunk, but the candidate ranking rides the MXU instead
+    of the VPU direct scan.
+
+    Why: the xplane decomposition of the VPU chunk-scan drain
+    (benchmarks/prof_r5_scan.py) put the fused direct scan at ~8.0 of the
+    ~9.3 ms/batch device time — scan-bound on the VPU while the MXU sits
+    idle. Here the (m, n_cand) ranking is a triple-bf16 wide-contraction
+    matmul (the v9 mechanism, mxu_expansion.py module docstring) at ~2%
+    of the VPU's direct-form cost; exactness comes from a direct-f32
+    rescan of each query's top-`scan_t` subtiles plus an error-band
+    certificate against the rest, all inside the same program:
+
+      1. candidate selection + ONE gather, exactly as _chunk_scan_core;
+      2. CENTER the chunk (q - c, cand - c, c = chunk query mean):
+         distances are translation-invariant, but the expansion error
+         delta scales with max|q|^2 + max|r|^2 — a locality-sorted
+         clustered chunk concentrates in a small region, so centering
+         shrinks delta by orders of magnitude, exactly where the
+         uncentered band collapses (the reason the FULL-set MXU scan
+         floods its refine tiers on clustered data, NUMBERS.md);
+      3. one bf16-split MXU sweep -> per-SUBTILE (ts=256 cols) mins of
+         the approximate d2_hat = |q'|^2 - 2 q'.r' + |r'|^2;
+      4. direct-f32 rescan of each query's `scan_t` best subtiles on the
+         ORIGINAL (uncentered) coordinates -> winner wmin/idx;
+      5. certificate, in the d2 domain: every unscanned candidate lies in
+         a subtile whose d2_hat min is >= t_next (the (scan_t+1)-th best),
+         and its true distance is >= t_next - 3*delta, where
+         delta = _DELTA_REL_PER_K * kp * (max|q'|^2 + max|r'|^2) bounds
+         (with its built-in ~16x safety, mxu_expansion.py:84-90) the
+         dropped split cross terms + f32 accumulation of the matmul, the
+         ON-DEVICE f32 norm sums (~k*2^-24*scale, unlike v9's host-f64
+         r2h — still ~5x under the safety band), and the centering
+         round-off (~2^-24*scale' per coord pair); the third delta
+         absorbs the direct-f32 rounding of wmin itself. So
+         ``wmin + 3*delta <= t_next`` proves the winner beats every
+         unscanned candidate; the scanned side is the contract's own
+         direct-f32 arithmetic. Near-ties inside the band fail the
+         certificate and flow to the engine retry, as they must;
+      6. the bucket-bound certificate vs the nearest unscanned bucket,
+         unchanged from _chunk_scan_core.
+
+    Bucket pad slots are replicas of real points (from_groups) and the
+    candidate axis pads with replicas of candidate 0, so every scanned
+    slot is a real point: replicas can tie the true NN but never beat it,
+    and their ids decode to the replicated real id. Returns
+    (idx (m,) i32, certified (m,) bool).
+    """
+    from nns_tpu.kernels.mxu_expansion import (
+        _DELTA_REL_PER_K, _cat_q, _split_bf16x3,
+    )
+
+    m, k = q.shape
+    f_total = lo.shape[0]
+    cap = pts.shape[1]
+    b = min(budget, f_total)
+
+    lb = jnp.zeros((m, f_total), dtype=jnp.float32)
+    for d in range(k):
+        qd = q[:, d : d + 1]
+        gap = jnp.maximum(jnp.maximum(lo[None, :, d] - qd, qd - hi[None, :, d]), 0.0)
+        lb = lb + gap * gap
+
+    score = jnp.min(lb, axis=0)                      # (F,) chunk-level bound
+    _, sel = jax.lax.top_k(-score, b)                # one row — cheap sort
+    cand = pts[sel].reshape(b * cap, k)              # ONE gather per chunk
+    cand_ids = ids[sel].reshape(b * cap)
+    if extras.shape[0]:
+        cand = jnp.concatenate([cand, extras], axis=0)
+        cand_ids = jnp.concatenate([cand_ids, extras_ids], axis=0)
+
+    ts = 256                        # subtile width (rescan gather rows)
+    blk = 8192                      # candidates per MXU sweep step
+    n_pad = round_up(cand.shape[0], blk)
+    if n_pad != cand.shape[0]:
+        reps = n_pad - cand.shape[0]
+        cand = jnp.concatenate(
+            [cand, jnp.broadcast_to(cand[0], (reps, k))], axis=0
+        )
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.broadcast_to(cand_ids[0], (reps,))], axis=0
+        )
+    n_sub = n_pad // ts
+
+    # Center + split (the ranking domain; the rescan stays on originals).
+    c = jnp.mean(q, axis=0)
+    qc_ = q - c
+    rc_ = cand - c
+    q2c = jnp.sum(qc_ * qc_, axis=1)                 # (m,) row-constant
+    r2c = jnp.sum(rc_ * rc_, axis=1)                 # (n_pad,)
+    kp = round_up(k, 8)
+    if kp != k:
+        qc_ = jnp.pad(qc_, ((0, 0), (0, kp - k)))
+        rc_ = jnp.pad(rc_, ((0, 0), (0, kp - k)))
+    qcat = _cat_q(*_split_bf16x3(qc_))               # (m, 6*kp) bf16
+    rh, rm_, rl = _split_bf16x3(rc_)
+    rcat = jnp.concatenate([rh, rm_, rh, rl, rh, rm_], axis=1)  # (n_pad, 6*kp)
+
+    def sweep(args):
+        rck, r2k = args                              # (blk, 6kp), (blk,)
+        cross = jax.lax.dot_general(
+            qcat, rck, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                            # (m, blk) on the MXU
+        d2h = q2c[:, None] - 2.0 * cross + r2k[None, :]
+        return jnp.min(d2h.reshape(m, blk // ts, ts), axis=2)
+
+    smin = jax.lax.map(
+        sweep, (rcat.reshape(-1, blk, 6 * kp), r2c.reshape(-1, blk))
+    )                                                # (n_blk, m, blk//ts)
+    smin = jnp.moveaxis(smin, 0, 1).reshape(m, n_sub)
+
+    # Top-scan_t subtiles per query: unrolled argmin + mask (the repo-wide
+    # wide-top_k rule — a sorted top_k here lowers to a full row sort).
+    cols = jax.lax.broadcasted_iota(jnp.int32, smin.shape, 1)
+    t_sel = []
+    work = smin
+    for _ in range(min(scan_t, n_sub)):
+        cur = jnp.min(work, axis=1, keepdims=True)
+        a = jnp.min(jnp.where(work == cur, cols, n_sub), axis=1)
+        t_sel.append(jnp.minimum(a, n_sub - 1))      # all-inf row guard
+        work = jnp.where(cols == a[:, None], jnp.inf, work)
+    t_next = jnp.min(work, axis=1)                   # (scan_t+1)-th bound
+    t_sel = jnp.stack(t_sel, axis=1)                 # (m, T)
+    tt = t_sel.shape[1]
+
+    # Direct-f32 rescan of the selected subtiles on ORIGINAL coordinates,
+    # chunked over query rows to bound the (mq, T, ts, k) gather temp.
+    cand_t = cand.reshape(n_sub, ts, k)
+    mq = min(m, max(8, ((1 << 21) // (tt * ts)) // 8 * 8))
+    nq = -(-m // mq)
+    qp = q if nq * mq == m else jnp.pad(q, ((0, nq * mq - m), (0, 0)))
+    tp = t_sel if nq * mq == m else jnp.pad(t_sel, ((0, nq * mq - m), (0, 0)))
+
+    def rescan(args):
+        qk, tk = args                                # (mq, k), (mq, T)
+        rsel = jnp.take(cand_t, tk, axis=0)          # (mq, T, ts, k)
+        d2 = jnp.sum((rsel - qk[:, None, None, :]) ** 2, axis=3)
+        pos = tk[:, :, None] * ts + jax.lax.broadcasted_iota(
+            jnp.int32, d2.shape, 2
+        )
+        d2f = d2.reshape(mq, -1)
+        pf = pos.reshape(mq, -1)
+        wmin = jnp.min(d2f, axis=1)
+        wpos = jnp.min(jnp.where(d2f == wmin[:, None], pf, n_pad), axis=1)
+        return wmin, wpos
+
+    wmin, wpos = jax.lax.map(
+        rescan, (qp.reshape(nq, mq, k), tp.reshape(nq, mq, tt))
+    )
+    wmin = wmin.reshape(-1)[:m]
+    wpos = wpos.reshape(-1)[:m]
+    idx = jnp.take(cand_ids, wpos)
+
+    scale = jnp.max(q2c) + jnp.max(r2c)
+    delta = jnp.float32(_DELTA_REL_PER_K * kp) * scale
+    cert_scan = wmin + 3.0 * delta <= t_next
+
+    scanned = jnp.zeros((f_total,), bool).at[sel].set(True)
+    unscanned_min = jnp.min(
+        jnp.where(scanned[None, :], jnp.inf, lb), axis=1
+    )
+    ok = jnp.logical_and(cert_scan, wmin * _CERT_MARGIN <= unscanned_min)
+    return idx.astype(jnp.int32), ok
+
+
+@functools.partial(jax.jit, static_argnames=("budget", "scan_t"))
+def _chunk_scan_mxu_many(qc, lo, hi, pts, ids, extras, extras_ids,
+                         budget: int, scan_t: int):
+    """_chunk_scan_many's shape for the MXU core: ONE program over the
+    staged chunks, one fetchable (C, 2, step) i32 output."""
+
+    def step(qk):
+        idx, ok = _chunk_scan_mxu_core(
+            qk, lo, hi, pts, ids, extras, extras_ids, budget, scan_t
+        )
+        return jnp.stack([idx, ok.astype(jnp.int32)], axis=0)
+
+    return jax.lax.map(step, qc)
+
+
 @functools.partial(jax.jit, static_argnames=("beam", "k_nn"))
 def _beam_topk(q, lo, hi, pts, ids, valid, extras, extras_ids,
                beam: int, k_nn: int):
@@ -422,7 +605,9 @@ class BeamIndex:
             s = 2 * s + (q[rows, d] > self.desc_thr[s])
         return (s - (1 << t)).astype(np.int64)
 
-    def stage_queries(self, queries: np.ndarray) -> BeamStagedQueries:
+    def stage_queries(
+        self, queries: np.ndarray, chunk_m: int | None = None
+    ) -> BeamStagedQueries:
         """Pre-stage a query set on device for the serving drain (the
         host->device upload leaves the timed region). Chunk shapes are
         quantized to powers of two so retry tails and odd batch sizes don't
@@ -430,7 +615,12 @@ class BeamIndex:
         descent table, queries are sorted by home bucket first — the
         locality grouping the chunk-scan drain's shared candidate set
         depends on (answers are unsorted back to caller order at decode,
-        so the sort is invisible to every caller)."""
+        so the sort is invisible to every caller). ``chunk_m`` overrides
+        the queries-per-chunk default (_CHUNK_M): smaller chunks
+        concentrate the locality sort — each chunk's bucket union shrinks,
+        so the chunk scan covers at a smaller budget — at the price of
+        more per-chunk selection/gather overhead (sweep:
+        benchmarks/drive_r5_chunksize.py)."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         m = q.shape[0]
         perm = None
@@ -438,7 +628,7 @@ class BeamIndex:
         if self.desc_dim is not None and m > 1:
             perm = np.argsort(self.home_buckets(q), kind="stable")
             q_sorted = q[perm]
-        step = min(_CHUNK_M, pow2_at_least(max(m, 8)))
+        step = min(chunk_m or _CHUNK_M, pow2_at_least(max(m, 8)))
         chunks = -(-m // step)
         pad = chunks * step - m
         if pad:
@@ -480,16 +670,26 @@ class BeamIndex:
         return self._decode(out, st)
 
     def query_staged_scan_with_flags(
-        self, st: BeamStagedQueries, budget: int = 128
+        self, st: BeamStagedQueries, budget: int = 128,
+        mxu: bool = False, scan_t: int = 8,
     ):
-        """(idx, certified) by the chunk-scan drain (_chunk_scan_core): one
-        shared `budget`-bucket candidate set per locality-sorted chunk, the
-        exact fused Pallas scan over it, certificates against the unscanned
-        buckets' bounds. Same one-dispatch/one-fetch drain shape."""
-        out = np.asarray(_chunk_scan_many(
-            st.q_dev, self.lo, self.hi, self.pts, self.ids,
-            self.extras, self.extras_ids, budget,
-        ))
+        """(idx, certified) by the chunk-scan drain: one shared
+        `budget`-bucket candidate set per locality-sorted chunk, scanned by
+        the exact fused Pallas kernel (`mxu=False`, _chunk_scan_core) or
+        ranked on the MXU with a direct-f32 top-`scan_t`-subtile rescan +
+        error-band certificate (`mxu=True`, _chunk_scan_mxu_core), plus the
+        unscanned-bucket certificate either way. Same
+        one-dispatch/one-fetch drain shape."""
+        if mxu:
+            out = np.asarray(_chunk_scan_mxu_many(
+                st.q_dev, self.lo, self.hi, self.pts, self.ids,
+                self.extras, self.extras_ids, budget, scan_t,
+            ))
+        else:
+            out = np.asarray(_chunk_scan_many(
+                st.q_dev, self.lo, self.hi, self.pts, self.ids,
+                self.extras, self.extras_ids, budget,
+            ))
         return self._decode(out, st)
 
     def query_with_flags(self, queries: np.ndarray, beam: int = 8):
@@ -499,16 +699,16 @@ class BeamIndex:
 
     def query_staged_with_coverage(
         self, st: BeamStagedQueries, beam: int = 8,
-        budget: int | None = None,
+        budget: int | None = None, mxu: bool = False,
     ) -> tuple[np.ndarray, float]:
         """Exact answers plus the certified fraction for a pre-staged query
         set — the full serving answer in the timed region: base drain (the
-        chunk-scan when ``budget`` is set, else the per-query beam form;
-        one dispatch either way), then a wider beam retry for a dense
-        uncertified tail, then the exact fallback for survivors (callers
-        adapt engine choice on persistent misses)."""
+        chunk-scan when ``budget`` is set — MXU-ranked when ``mxu`` — else
+        the per-query beam form; one dispatch either way), then a wider
+        beam retry for a dense uncertified tail, then the exact fallback
+        for survivors (callers adapt engine choice on persistent misses)."""
         if budget is not None:
-            idx, ok = self.query_staged_scan_with_flags(st, budget)
+            idx, ok = self.query_staged_scan_with_flags(st, budget, mxu=mxu)
         else:
             idx, ok = self.query_staged_with_flags(st, beam)
         bad = np.flatnonzero(~ok)
@@ -534,12 +734,12 @@ class BeamIndex:
 
     def query_with_coverage(
         self, queries: np.ndarray, beam: int = 8,
-        budget: int | None = None,
+        budget: int | None = None, mxu: bool = False,
     ) -> tuple[np.ndarray, float]:
         """query_staged_with_coverage on a freshly-staged query set."""
         q = np.ascontiguousarray(queries, dtype=np.float32)
         return self.query_staged_with_coverage(
-            self.stage_queries(q), beam, budget
+            self.stage_queries(q), beam, budget, mxu=mxu
         )
 
     def query_exact(self, queries: np.ndarray, beam: int = 8) -> np.ndarray:

@@ -305,3 +305,37 @@ def test_drain_bucket_overflow_stays_exact():
     # both copies are true NNs; the brute-force family tie-break picks 30
     assert set(np.unique(out)) <= {30, 700}
     assert recall_at_1(out, q, refs) == 1.0
+
+
+def test_split_bf16x3_residuals_survive_jit():
+    """The triple-bf16 split must NOT collapse under jit: on the real TPU
+    backend XLA folds ``x - f32(bf16(x))`` to 0 unless the casts are
+    pinned (measured on-chip 2026-08-20 — the fold silently turned the
+    in-jit query-side splits into a plain bf16 truncation, voiding the
+    phase-1 error band the v9 certificate relies on). Pins the
+    optimization_barrier fix in _split_bf16x3."""
+    import jax
+    import jax.numpy as jnp
+
+    from nns_tpu.kernels.mxu_expansion import _split_bf16x3
+
+    x = jnp.asarray(
+        np.random.default_rng(0).random((8, 16), dtype=np.float32) + 0.1
+    )
+
+    @jax.jit
+    def split(x):
+        hi, mid, lo = _split_bf16x3(x)
+        err0 = jnp.max(jnp.abs(x - hi.astype(jnp.float32)))
+        err2 = jnp.max(jnp.abs(
+            x - hi.astype(jnp.float32) - mid.astype(jnp.float32)
+            - lo.astype(jnp.float32)
+        ))
+        mid_max = jnp.max(jnp.abs(mid.astype(jnp.float32)))
+        return err0, err2, mid_max
+
+    err0, err2, mid_max = (float(v) for v in split(x))
+    # bf16 alone truncates ~2^-9 relative; the triple must carry ~24 bits.
+    assert err0 > 1e-5, "test vector too benign for bf16 truncation"
+    assert mid_max > 0.0, "mid residual folded to zero under jit"
+    assert err2 < 1e-6, f"triple reconstruction error {err2}"
